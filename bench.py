@@ -1,0 +1,72 @@
+"""Benchmark: real-time factor of encode+decode on the flagship 1kbps model.
+
+Run on real TPU hardware (ambient JAX_PLATFORMS=axon). Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+The reference publishes no speed numbers (BASELINE.md); the operational target
+is the north star from BASELINE.json: >= 200x real-time encode+decode per v5e
+chip at 1kbps. ``vs_baseline`` is therefore value / 200.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="1kbps")
+    ap.add_argument("--seconds", type=float, default=10.0,
+                    help="audio length per stream")
+    ap.add_argument("--batch", type=int, default=8, help="concurrent streams")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    from l3ac_tpu.config import get_config
+    from l3ac_tpu.models import codec as fcodec
+
+    cfg = get_config(args.model)
+    mc = cfg.network_config
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    params = fcodec.init_codec(jax.random.PRNGKey(0), mc, dtype=dtype)
+
+    sr = cfg.sample_rate
+    T = int(args.seconds * sr) // mc.hop_length * mc.hop_length
+    audio = jax.random.normal(jax.random.PRNGKey(1), (args.batch, T), dtype) * 0.3
+
+    @jax.jit
+    def roundtrip(params, audio):
+        q, idx = fcodec.encode(params, audio, mc)
+        return fcodec.decode(params, q, mc), idx
+
+    # warmup / compile
+    out, idx = roundtrip(params, audio)
+    jax.block_until_ready(out)
+    for _ in range(args.warmup):
+        out, idx = roundtrip(params, audio)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out, idx = roundtrip(params, audio)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    audio_seconds = args.iters * args.batch * (T / sr)
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": f"rtf_encode_decode_{args.model}",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 200.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Conv encoder: audio (B, T, 1) -> features (B, T/hop, feature_dim).
+
+Mirrors the reference Encoder (``l3ac/modules.py:71-116``): FirstBlock stem, then
+per stage depth x residual ConvUnits + strided downsampling conv (+ optional
+ChannelNorm), final ConvUnits and a k=3 projection to feature_dim. NOT causal —
+symmetric padding throughout, matching the reference.
+
+TPU notes: all downsampling convs have kernel_size == stride (non-overlapping)
+and are lowered to reshape+matmul on the MXU.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import conv1d, channel_norm
+from ..ops.conv import conv1d_strided_matmul
+from ..utils import init as pinit
+from .layers import init_conv_unit, residual_conv_unit_apply
+from .tconv import init_first_block, first_block_apply
+
+
+def init_encoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
+    dims = mc.encoder_dims
+    keys = iter(jax.random.split(key, 256))
+    p = {"first": init_first_block(next(keys), dims[0], dtype)}
+
+    stages = []
+    for i_d, o_d, stride, depth in zip(dims[:-1], dims[1:], mc.compress_rates,
+                                       mc.encoder_depths):
+        stage = {
+            "units": [init_conv_unit(next(keys), i_d, snake_act=mc.use_snake_act,
+                                     use_norm=mc.use_norm, dtype=dtype)
+                      for _ in range(depth)],
+            "down": pinit.conv_params(next(keys), stride, i_d, o_d, dtype=dtype),
+        }
+        if mc.use_norm:
+            stage["down_norm"] = pinit.norm_params(o_d, dtype)
+        stages.append(stage)
+    p["stages"] = stages
+
+    p["last_units"] = [init_conv_unit(next(keys), dims[-1],
+                                      snake_act=mc.use_snake_act,
+                                      use_norm=mc.use_norm, dtype=dtype)
+                       for _ in range(mc.encoder_depths[-1])]
+    p["out_conv"] = pinit.conv_params(next(keys), 3, dims[-1], mc.feature_dim,
+                                      dtype=dtype)
+    return p
+
+
+def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
+    """x: (B, T, 1) -> (B, T // conv_hop, feature_dim). T must be a hop multiple."""
+    h = first_block_apply(p["first"], x)
+    for stage, stride in zip(p["stages"], mc.compress_rates):
+        for unit in stage["units"]:
+            h = residual_conv_unit_apply(unit, h)
+        h = conv1d_strided_matmul(h, stage["down"]["w"], stage["down"]["b"])
+        if "down_norm" in stage:
+            h = channel_norm(h, stage["down_norm"]["w"], stage["down_norm"]["b"])
+    for unit in p["last_units"]:
+        h = residual_conv_unit_apply(unit, h)
+    return conv1d(h, p["out_conv"]["w"], p["out_conv"]["b"], padding=1)

@@ -1,0 +1,79 @@
+"""Primitive conv blocks: ConvUnit (ConvNeXt-ish) and LegacyUnit (DAC-style).
+
+Functional modules: ``init_*`` builds a param pytree, ``*_apply`` runs it on
+channels-last activations (B, T, C). Semantics match the reference
+(``l3ac/modules.py:10-64``): residual adds are part of the *_unit appliers
+(reference wraps in ``Residual``; drop-path is train-only and rate 0 in all
+released configs, so it is omitted here).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv1d, snake, gelu, channel_norm, grn
+from ..ops.conv import linear
+from ..utils import init as pinit
+
+
+def init_conv_unit(key, dim: int, *, snake_act: bool = True, use_norm: bool = False,
+                   dilation: int = 1, kernel_size: int = 7, dtype=jnp.float32) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "dw": pinit.conv_params(k1, kernel_size, dim, dim, groups=dim, dtype=dtype),
+        "pw1": pinit.linear_params(k2, dim, 4 * dim, dtype=dtype),
+        "grn": pinit.grn_params(4 * dim, dtype),
+        "pw2": pinit.linear_params(k3, 4 * dim, dim, dtype=dtype),
+    }
+    if use_norm:
+        p["norm"] = pinit.norm_params(dim, dtype)
+    if snake_act:
+        p["alpha"] = jnp.ones((4 * dim,), dtype)
+    return p
+
+
+def conv_unit_apply(p: dict, x: jnp.ndarray, *, dilation: int = 1,
+                    kernel_size: int = 7) -> jnp.ndarray:
+    """ConvUnit body (no residual): dwConv7 -> [ChannelNorm] -> Linear x4 ->
+    Snake/GELU -> GRN -> Linear (reference ``l3ac/modules.py:32-41``)."""
+    dim = x.shape[-1]
+    pad = (kernel_size - 1) * dilation // 2
+    y = conv1d(x, p["dw"]["w"], p["dw"]["b"], padding=pad, dilation=dilation,
+               groups=dim)
+    if "norm" in p:
+        y = channel_norm(y, p["norm"]["w"], p["norm"]["b"])
+    y = linear(y, p["pw1"]["w"], p["pw1"]["b"])
+    y = snake(y, p["alpha"]) if "alpha" in p else gelu(y)
+    y = grn(y, p["grn"]["gamma"], p["grn"]["beta"])
+    y = linear(y, p["pw2"]["w"], p["pw2"]["b"])
+    return y
+
+
+def residual_conv_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
+    return x + conv_unit_apply(p, x, **kw)
+
+
+def init_legacy_unit(key, dim: int, *, dilation: int = 1, kernel_size: int = 7,
+                     dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "alpha1": jnp.ones((dim,), dtype),
+        "conv1": pinit.conv_params(k1, kernel_size, dim, dim, dtype=dtype),
+        "alpha2": jnp.ones((dim,), dtype),
+        "conv2": pinit.conv_params(k2, 1, dim, dim, dtype=dtype),
+    }
+
+
+def legacy_unit_apply(p: dict, x: jnp.ndarray, *, dilation: int = 1,
+                      kernel_size: int = 7) -> jnp.ndarray:
+    """LegacyUnit: Snake -> Conv(k7, dil) -> Snake -> Conv(k1), residual outside
+    (reference ``l3ac/modules.py:47-64``)."""
+    pad = (kernel_size - 1) * dilation // 2
+    y = snake(x, p["alpha1"])
+    y = conv1d(y, p["conv1"]["w"], p["conv1"]["b"], padding=pad, dilation=dilation)
+    y = snake(y, p["alpha2"])
+    y = conv1d(y, p["conv2"]["w"], p["conv2"]["b"])
+    return y
+
+
+def residual_legacy_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
+    return x + legacy_unit_apply(p, x, **kw)

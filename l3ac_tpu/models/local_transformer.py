@@ -1,0 +1,214 @@
+"""Local-window transformer stack (the "en_encoder"/"en_decoder").
+
+Re-implements the model semantics the reference gets from the pinned
+``local-attention==1.11.2`` package plus the reference's wrappers
+(``l3ac/local_trans.py``): per layer ``x = LocalMHA(x) + x; x = FF(x) + x`` with
+a single shared DynamicPositionBias evaluated once per forward
+(``l3ac/local_trans.py:42-48``), and the token down/up samplers DownTrans /
+UpTransV2 and their Compressed enc/dec assemblies (``:114-186``).
+
+Geometry from the reference builder (``l3ac/local_trans.py:50-53``):
+dim_head = feature_dim // 4, heads = 6, ff inner = int(dim*4*2/3), causal, and
+dynamic position bias (rotary is never used by released configs — all four set
+en_coder_dynamic_pos = true).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention, geglu, upsample_linear
+from ..ops.conv import linear, conv1d_strided_matmul
+from ..ops.norms import layer_norm
+from ..utils import init as pinit
+
+HEADS = 6
+FF_MULT = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class TransConfig:
+    dim: int
+    depth: int
+    window_size: int
+    heads: int = HEADS
+    dynamic_pos: bool = True
+
+    @property
+    def dim_head(self) -> int:
+        return self.dim // 4
+
+    @property
+    def inner_dim(self) -> int:
+        return self.dim_head * self.heads
+
+    @property
+    def ff_inner(self) -> int:
+        return int(self.dim * FF_MULT * 2 / 3)
+
+
+def init_local_trans(key, tc: TransConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 4 * tc.depth + 8))
+    p = {"layers": []}
+    if tc.dynamic_pos:
+        # DynamicPositionBias MLP: Linear 1->d, SiLU, Linear d->d, SiLU,
+        # Linear d->heads (all with bias), d = dim // 2
+        d = tc.dim // 2
+        l0 = pinit.torch_linear_params(next(keys), 1, d, dtype=dtype)
+        l1 = pinit.torch_linear_params(next(keys), d, d, dtype=dtype)
+        l2 = pinit.torch_linear_params(next(keys), d, tc.heads, dtype=dtype)
+        p["dyn_bias"] = {"w0": l0["w"], "b0": l0["b"], "w1": l1["w"],
+                         "b1": l1["b"], "w2": l2["w"], "b2": l2["b"]}
+    for _ in range(tc.depth):
+        attn = {
+            "norm": pinit.norm_params(tc.dim, dtype),
+            "qkv": pinit.torch_linear_params(next(keys), tc.dim,
+                                             3 * tc.inner_dim, bias=False,
+                                             dtype=dtype),
+            "out": pinit.torch_linear_params(next(keys), tc.inner_dim, tc.dim,
+                                             bias=False, dtype=dtype),
+        }
+        ff = {
+            "norm": pinit.norm_params(tc.dim, dtype),
+            "w1": pinit.torch_linear_params(next(keys), tc.dim, 2 * tc.ff_inner,
+                                            bias=False, dtype=dtype),
+            "w2": pinit.torch_linear_params(next(keys), tc.ff_inner, tc.dim,
+                                            bias=False, dtype=dtype),
+        }
+        p["layers"].append({"attn": attn, "ff": ff})
+    return p
+
+
+def _mha_apply(p: dict, x: jnp.ndarray, tc: TransConfig,
+               bias: jnp.ndarray | None) -> jnp.ndarray:
+    """Pre-norm local MHA. x: (B, T, C), T already padded to a window multiple."""
+    B, T, _ = x.shape
+    h = layer_norm(x, p["norm"]["w"], p["norm"]["b"])
+    qkv = linear(h, p["qkv"]["w"])                     # (B, T, 3*inner)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, T, tc.heads, tc.dim_head).transpose(0, 2, 1, 3)
+
+    out = attention.local_attention(heads(q), heads(k), heads(v),
+                                    window_size=tc.window_size, bias=bias)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, tc.inner_dim)
+    return linear(out, p["out"]["w"])
+
+
+def _ff_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    h = layer_norm(x, p["norm"]["w"], p["norm"]["b"])
+    h = geglu(linear(h, p["w1"]["w"]))
+    return linear(h, p["w2"]["w"])
+
+
+def local_trans_apply(p: dict, x: jnp.ndarray, tc: TransConfig) -> jnp.ndarray:
+    """x: (B, T, C) -> (B, T, C). Pads T to a window multiple internally
+    (autopad) and crops back — safe under the causal mask."""
+    B, T, C = x.shape
+    pad = (-T) % tc.window_size
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    bias = None
+    if tc.dynamic_pos:
+        bias = attention.dynamic_position_bias(p["dyn_bias"], tc.window_size)
+    for layer in p["layers"]:
+        x = _mha_apply(layer["attn"], x, tc, bias) + x
+        x = _ff_apply(layer["ff"], x) + x
+    if pad:
+        x = x[:, :T]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Reference wrappers: plain enc/dec and compressed (down/up) enc/dec.
+# All appliers below take and return (B, T, C) channels-last; the reference's
+# (B, C, T) permutes are layout-only and vanish in our channels-last world.
+# ---------------------------------------------------------------------------
+
+
+def plain_encoder_config(mc) -> TransConfig:
+    # reference: LocalEncoder(depth=1) (l3ac/en_codec.py:27-29)
+    return TransConfig(dim=mc.feature_dim, depth=1,
+                       window_size=mc.en_coder_window_size,
+                       dynamic_pos=mc.en_coder_dynamic_pos)
+
+
+def plain_decoder_config(mc) -> TransConfig:
+    # reference: LocalDecoder(depth=en_coder_depth) (l3ac/en_codec.py:30-32)
+    return TransConfig(dim=mc.feature_dim, depth=mc.en_coder_depth,
+                       window_size=mc.en_coder_window_size,
+                       dynamic_pos=mc.en_coder_dynamic_pos)
+
+
+def compressed_encoder_configs(mc) -> dict:
+    """reference: CompressedLocalEncoderWithCache(depth=3) — DownTrans(window=
+    (win+cache)*rate, depth=3//2=1) then LocalTrans(window=win+cache, depth=2)
+    (``l3ac/local_trans.py:145-165``, ``l3ac/en_codec.py:33-39``)."""
+    depth = 3
+    first = depth // 2
+    win = mc.en_coder_window_size + mc.en_coder_cache_size
+    rate = mc.en_coder_compress_rate
+    return {
+        "down": TransConfig(dim=mc.feature_dim, depth=first,
+                            window_size=win * rate,
+                            dynamic_pos=mc.en_coder_dynamic_pos),
+        "post": TransConfig(dim=mc.feature_dim, depth=depth - first,
+                            window_size=win,
+                            dynamic_pos=mc.en_coder_dynamic_pos),
+    }
+
+
+def compressed_decoder_configs(mc) -> dict:
+    """reference: CompressedLocalDecoderWithCache(depth=en_coder_depth) —
+    LocalTrans(window=win, depth=depth-2) then UpTransV2(window=win*rate,
+    depth=2) (``l3ac/local_trans.py:168-186``)."""
+    win = mc.en_coder_window_size + mc.en_coder_cache_size
+    rate = mc.en_coder_compress_rate
+    return {
+        "pre": TransConfig(dim=mc.feature_dim, depth=mc.en_coder_depth - 2,
+                           window_size=win,
+                           dynamic_pos=mc.en_coder_dynamic_pos),
+        "up": TransConfig(dim=mc.feature_dim, depth=2, window_size=win * rate,
+                          dynamic_pos=mc.en_coder_dynamic_pos),
+    }
+
+
+def init_compressed_encoder(key, mc, dtype=jnp.float32) -> dict:
+    cfgs = compressed_encoder_configs(mc)
+    k0, k1, k2 = jax.random.split(key, 3)
+    rate = mc.en_coder_compress_rate
+    return {
+        "down_trans": init_local_trans(k0, cfgs["down"], dtype),
+        # DownTrans v2: strided weight-normed Conv1d(k=rate, s=rate)
+        # (l3ac/local_trans.py:138-142)
+        "down_conv": pinit.conv_params(k1, rate, mc.feature_dim, mc.feature_dim,
+                                       dtype=dtype),
+        "post_trans": init_local_trans(k2, cfgs["post"], dtype),
+    }
+
+
+def compressed_encoder_apply(p: dict, x: jnp.ndarray, mc) -> jnp.ndarray:
+    cfgs = compressed_encoder_configs(mc)
+    x = local_trans_apply(p["down_trans"], x, cfgs["down"])
+    x = conv1d_strided_matmul(x, p["down_conv"]["w"], p["down_conv"]["b"])
+    return local_trans_apply(p["post_trans"], x, cfgs["post"])
+
+
+def init_compressed_decoder(key, mc, dtype=jnp.float32) -> dict:
+    cfgs = compressed_decoder_configs(mc)
+    k0, k1 = jax.random.split(key)
+    return {
+        "pre_trans": init_local_trans(k0, cfgs["pre"], dtype),
+        "up_trans": init_local_trans(k1, cfgs["up"], dtype),
+    }
+
+
+def compressed_decoder_apply(p: dict, x: jnp.ndarray, mc) -> jnp.ndarray:
+    cfgs = compressed_decoder_configs(mc)
+    x = local_trans_apply(p["pre_trans"], x, cfgs["pre"])
+    # UpTransV2: linear upsample x rate, then LocalTrans (l3ac/local_trans.py:114-126)
+    x = upsample_linear(x, mc.en_coder_compress_rate)
+    return local_trans_apply(p["up_trans"], x, cfgs["up"])

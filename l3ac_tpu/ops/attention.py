@@ -1,0 +1,102 @@
+"""Causal block-local windowed attention.
+
+Reproduces the semantics of the pinned ``local-attention==1.11.2`` package the
+reference depends on (``l3ac/local_trans.py:23``, ``pyproject.toml:12``; see
+SURVEY.md §2.2), with the reference's call-site configuration locked in:
+``causal=True, look_backward=1, look_forward=0, autopad=True,
+exact_windowsize=False, scale=dim_head**-0.5``.
+
+Layout: the sequence (padded to a window multiple) is reshaped into windows of
+size ``n``; each query window attends to its own window plus the previous one
+(keys of length 2n), under a causal mask on absolute positions. Receptive field
+per layer is up to ``2n - 1``. This maps 1:1 onto TPU: every (n x 2n) attention
+block is a pair of MXU matmuls with static shapes; the mask and the dynamic
+position bias are position-only and get folded into a single additive (n, 2n)
+bias term per head, precomputed once per forward.
+
+Right-padding (autopad) is safe under the causal mask: padded keys sit at
+positions strictly greater than every real query, so they are always masked;
+padded query rows are cropped from the output.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def local_attention_mask(window_size: int) -> jnp.ndarray:
+    """(n, 2n) bool mask, True = attendable.
+
+    Query i (global pos w*n + i) vs key j of the concatenated [prev | cur]
+    window (global pos (w-1)*n + j): causal  ⇔  j <= n + i. With
+    exact_windowsize=False there is no lower bound beyond the window extent.
+    First-window padding (keys j < n when w == 0) is handled by the caller.
+    """
+    n = window_size
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(2 * n)[None, :]
+    return j <= (i + n)
+
+
+def dynamic_position_bias(params: dict, window_size: int) -> jnp.ndarray:
+    """DynamicPositionBias MLP -> (heads, n, 2n) additive bias.
+
+    Matches local-attention's transformer.DynamicPositionBias: an MLP
+    (Linear 1->d, SiLU, Linear d->d, SiLU, Linear d->heads) over |relative
+    distance|, evaluated once per forward. bias[h, i, j] = mlp(|n + i - j|)[h].
+    """
+    n = window_size
+    rel = jnp.arange(2 * n, dtype=jnp.float32)[:, None]  # (2n, 1)
+    h = jax.nn.silu(rel @ params["w0"] + params["b0"])
+    h = jax.nn.silu(h @ params["w1"] + params["b1"])
+    table = h @ params["w2"] + params["b2"]              # (2n, heads)
+    i = jnp.arange(n, 2 * n)[:, None]
+    j = jnp.arange(2 * n)[None, :]
+    idx = jnp.abs(i - j)                                  # (n, 2n)
+    return jnp.transpose(table[idx], (2, 0, 1))           # (heads, n, 2n)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    window_size: int,
+                    bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Causal local windowed attention.
+
+    q, k, v: (B, H, T, D) with T a multiple of window_size (caller pads).
+    bias: optional (H, n, 2n) additive position bias.
+    Returns (B, H, T, D).
+    """
+    B, H, T, D = q.shape
+    n = window_size
+    assert T % n == 0, (T, n)
+    W = T // n
+    scale = D ** -0.5
+
+    bq = q.reshape(B, H, W, n, D) * scale
+    bk = k.reshape(B, H, W, n, D)
+    bv = v.reshape(B, H, W, n, D)
+
+    # keys/values of [previous | current] window; first window's "previous" is
+    # a zero block whose logits get masked below.
+    prev_k = jnp.concatenate([jnp.zeros_like(bk[:, :, :1]), bk[:, :, :-1]], axis=2)
+    prev_v = jnp.concatenate([jnp.zeros_like(bv[:, :, :1]), bv[:, :, :-1]], axis=2)
+    kk = jnp.concatenate([prev_k, bk], axis=3)  # (B, H, W, 2n, D)
+    vv = jnp.concatenate([prev_v, bv], axis=3)
+
+    sim = jnp.einsum("bhwid,bhwjd->bhwij", bq, kk,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        sim = sim + bias[None, :, None].astype(sim.dtype)
+
+    mask = local_attention_mask(n)[None, None, None]          # causal
+    # first window: keys j < n come from the zero pad block -> invalid
+    first = (jnp.arange(W)[:, None, None] == 0) & (jnp.arange(2 * n)[None, None, :] < n)
+    mask = mask & ~first[None, None]
+    sim = jnp.where(mask, sim, NEG_INF)
+
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhwij,bhwjd->bhwid", attn.astype(vv.dtype), vv)
+    return out.reshape(B, H, T, D)

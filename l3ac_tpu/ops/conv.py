@@ -1,0 +1,74 @@
+"""1-D convolutions, channels-last ``(B, T, C)``.
+
+Weight layout: ``(K, C_in // groups, C_out)`` — transposed from torch's
+``(C_out, C_in // groups, K)``. Weight-norm parametrization is folded at
+load/convert time (see :func:`fold_weight_norm`), so runtime convs see plain
+dense weights; reference parametrization at ``l3ac/layers.py:11-25``.
+
+Strided convs with ``kernel_size == stride`` (the encoder's downsampling convs,
+reference ``l3ac/modules.py:97-99``) have non-overlapping windows, so they are
+lowered to a reshape + matmul that maps directly onto the MXU
+(:func:`conv1d_strided_matmul`).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None, *,
+           stride: int = 1, padding: int = 0, dilation: int = 1,
+           groups: int = 1) -> jnp.ndarray:
+    """General 1-D conv. x: (B, T, Cin); w: (K, Cin//groups, Cout); b: (Cout,)."""
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NWC", "WIO", "NWC"))
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=dn,
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv1d_strided_matmul(x: jnp.ndarray, w: jnp.ndarray,
+                          b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Conv with kernel_size == stride as reshape + matmul (MXU-friendly).
+
+    Equivalent to ``conv1d(x, w, b, stride=K)`` with no padding. Requires
+    ``T % K == 0`` (guaranteed by the codec's right-pad-to-hop preprocessing).
+    """
+    B, T, C = x.shape
+    K, Cin, Cout = w.shape
+    assert Cin == C, (Cin, C)
+    assert T % K == 0, (T, K)
+    xw = x.reshape(B, T // K, K * C)
+    wm = w.reshape(K * C, Cout)
+    y = jnp.dot(xw, wm, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def fold_weight_norm(g: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fold torch weight_norm parametrization: ``W = g * v / ||v||``.
+
+    torch's weight_norm uses dim=0 (per-output-channel norm over all remaining
+    dims). Inputs here are in *torch* layout: ``v``: (C_out, ...), ``g``:
+    (C_out, 1, ...) or (C_out,). Returns W in torch layout; transpose to the
+    channels-last kernel layout afterwards.
+    """
+    axes = tuple(range(1, v.ndim))
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+    return g.reshape(v.shape[0], *([1] * (v.ndim - 1))) * v / norm
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Dense layer. x: (..., Cin); w: (Cin, Cout)."""
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y

@@ -1,0 +1,61 @@
+"""Normalization ops, channels-last ``(B, T, C)``.
+
+Semantics match the reference:
+- channel_norm / layer_norm: normalize over the channel axis with eps *inside* the
+  sqrt, eps=1e-8 (reference ``l3ac/layers.py:50-86``, ``l3ac/xtract/nn/utils.py:33``).
+  In the reference the channels_first and channels_last code paths are numerically
+  identical (both normalize channels); here everything is channels-last so one op
+  serves both.
+- grn: Global Response Norm with the reference's (nonstandard) per-batch scalar
+  norm: ``g = ||x||_2 over (T, C)`` — NOT per-channel as in ConvNeXt-V2. Replicated
+  exactly (reference ``l3ac/layers.py:89-118``); do not "fix".
+- instance_norm: per-(batch, channel) normalization over time, eps=1e-5, matching
+  ``torch.nn.InstanceNorm1d(affine=True)`` defaults used by EnhanceBlock
+  (reference ``l3ac/tconv/__init__.py:34-38``).
+"""
+
+import jax.numpy as jnp
+
+EPS = 1e-8
+
+
+def channel_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                 eps: float = EPS) -> jnp.ndarray:
+    """Normalize over the last (channel) axis. ``weight``/``bias``: (C,)."""
+    u = jnp.mean(x, axis=-1, keepdims=True)
+    s = jnp.mean((x - u) ** 2, axis=-1, keepdims=True)
+    xn = (x - u) / jnp.sqrt(s + eps)
+    return weight * xn + bias
+
+
+# torch.nn.LayerNorm default eps (used by the local-transformer pre-norms)
+layer_norm_eps = 1e-5
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = layer_norm_eps) -> jnp.ndarray:
+    """LayerNorm over last axis with torch's default eps=1e-5."""
+    return channel_norm(x, weight, bias, eps=eps)
+
+
+def grn(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+        eps: float = EPS) -> jnp.ndarray:
+    """Reference GRN quirk (``l3ac/layers.py:112-115``).
+
+    ``g = ||x||_2`` over (T, C) per batch element → shape (B, 1, 1); the reference
+    then takes ``n = g / (mean_over_channels(g) + eps)`` but since ``g`` is already a
+    per-batch scalar the channel mean is the identity, so ``n = g / (g + eps) ≈ 1``.
+    ``y = gamma * (x * n) + beta + x``. gamma/beta: (C,).
+    """
+    g = jnp.sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
+    n = g / (g + eps)
+    return gamma * (x * n) + beta + x
+
+
+def instance_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                  eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over the time axis of (B, T, C). ``weight``/``bias``: (C,)."""
+    u = jnp.mean(x, axis=1, keepdims=True)
+    s = jnp.mean((x - u) ** 2, axis=1, keepdims=True)
+    xn = (x - u) / jnp.sqrt(s + eps)
+    return weight * xn + bias

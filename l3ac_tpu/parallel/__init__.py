@@ -1,0 +1,2 @@
+from . import halo, mesh, sharding  # noqa: F401
+from .mesh import make_mesh  # noqa: F401

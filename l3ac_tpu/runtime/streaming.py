@@ -1,0 +1,132 @@
+"""Batched, fixed-shape streaming — the TPU generalization of the reference's
+sequential batch-1 ``ChunkData`` loop (``l3ac/codec.py:124-156``).
+
+XLA wants static shapes; unbounded audio wants chunking. This module processes
+B independent streams in lockstep over fixed-size chunks with a 1-hop halo
+(identical overlap semantics to the reference), so one compiled program serves
+arbitrarily long audio. Chunks of different streams are batched onto the MXU
+together; tails are zero-padded and cropped on the host.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecConfig
+from ..models import codec as fcodec
+
+
+@dataclass
+class StreamState:
+    """Host-side state of one logical stream."""
+    audio: np.ndarray           # remaining samples (1-D)
+    produced_tokens: list       # accumulated index chunks
+    produced_features: list
+    consumed: int = 0
+
+
+class StreamCodec:
+    """Fixed-shape chunked encode/decode over batches of streams."""
+
+    def __init__(self, model, *, chunk_seconds: float = 5.0,
+                 batch_size: int = 8):
+        self.model = model
+        self.mc = model.mc
+        hop = self.mc.hop_length
+        sr = model.config.sample_rate
+        self.chunk_len = max(hop, int(chunk_seconds * sr) // hop * hop)
+        self.prefix_len = hop
+        self.batch_size = batch_size
+        self.tok_chunk = self.chunk_len // hop
+        self.tok_prefix = 1
+
+        mc = self.mc
+        self._encode = jax.jit(partial(fcodec.encode, mc=mc))
+        self._decode = jax.jit(partial(fcodec.decode, mc=mc))
+
+    # -- encode ------------------------------------------------------------
+    def encode_streams(self, audios: list[np.ndarray]) -> list[np.ndarray]:
+        """Encode a list of variable-length streams -> per-stream token arrays.
+
+        Streams are chunked with 1-hop overlap; chunk b of every stream is
+        batched into one fixed-shape device call. Token outputs drop the
+        overlap tokens exactly like ``ChunkData`` reassembly.
+        """
+        hop = self.mc.hop_length
+        padded = []
+        for a in audios:
+            a = np.asarray(a, np.float32).reshape(-1)
+            pad = math.ceil(len(a) / hop) * hop - len(a)
+            padded.append(np.pad(a, (0, pad)))
+        n_chunks = [math.ceil(len(a) / self.chunk_len) for a in padded]
+        total_chunks = max(n_chunks)
+
+        tokens = [[] for _ in padded]
+        in_len = self.prefix_len + self.chunk_len
+        for c in range(total_chunks):
+            batch_rows, row_ids = [], []
+            for i, a in enumerate(padded):
+                if c >= n_chunks[i]:
+                    continue
+                start = c * self.chunk_len
+                lo = max(0, start - self.prefix_len)
+                seg = a[lo:start + self.chunk_len]
+                row = np.zeros(in_len, np.float32)
+                off = in_len - (start + self.chunk_len - lo) \
+                    if start + self.chunk_len <= len(a) else 0
+                # left-align with zero left-context for the first chunk,
+                # right-pad the tail chunk
+                row[:len(seg)] = seg
+                batch_rows.append(row)
+                row_ids.append((i, c, lo, len(seg)))
+            while len(batch_rows) % self.batch_size and len(batch_rows) < self.batch_size:
+                batch_rows.append(np.zeros(in_len, np.float32))
+            x = jnp.asarray(np.stack(batch_rows))
+            _, idx = self._encode(self.model.params, x)
+            idx = np.asarray(idx)
+            for r, (i, cc, lo, seg_len) in enumerate(row_ids):
+                toks = idx[r][: math.ceil(seg_len / hop)]
+                if cc > 0:
+                    toks = toks[self.tok_prefix:]
+                tokens[i].append(toks)
+        return [np.concatenate(t) for t in tokens]
+
+    # -- decode ------------------------------------------------------------
+    def decode_streams(self, features: list[np.ndarray],
+                       lengths: list[int] | None = None) -> list[np.ndarray]:
+        """Decode per-stream feature arrays (T_i, C) back to audio."""
+        hop = self.mc.hop_length
+        tok_in = self.tok_prefix + self.tok_chunk
+        n_chunks = [math.ceil(len(f) / self.tok_chunk) for f in features]
+        total = max(n_chunks)
+        outs = [[] for _ in features]
+        C = features[0].shape[-1]
+        for c in range(total):
+            rows, ids = [], []
+            for i, f in enumerate(features):
+                if c >= n_chunks[i]:
+                    continue
+                start = c * self.tok_chunk
+                lo = max(0, start - self.tok_prefix)
+                seg = np.asarray(f[lo:start + self.tok_chunk], np.float32)
+                row = np.zeros((tok_in, C), np.float32)
+                row[:len(seg)] = seg
+                rows.append(row)
+                ids.append((i, c, start - lo, len(seg)))
+            while len(rows) % self.batch_size and len(rows) < self.batch_size:
+                rows.append(np.zeros((tok_in, C), np.float32))
+            x = jnp.asarray(np.stack(rows))
+            audio = np.asarray(self._decode(self.model.params, x))
+            for r, (i, cc, pre, seg_len) in enumerate(ids):
+                a = audio[r][: seg_len * hop]
+                outs[i].append(a[pre * hop:])
+        result = [np.concatenate(o) for o in outs]
+        if lengths is not None:
+            result = [r[:l] for r, l in zip(result, lengths)]
+        return result

@@ -1,0 +1,138 @@
+"""End-to-end EnCodec: config loading, shapes for all 4 released geometries,
+full-model golden parity vs the torch reference (oracle-backed transformers),
+and ChunkData streaming identity."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from l3ac_tpu import get_config, list_models
+from l3ac_tpu.models import codec as jcodec
+from l3ac_tpu.runtime import convert
+from l3ac_tpu.runtime.chunk import ChunkData
+from tests.oracle import import_reference
+
+l3ac = import_reference()
+
+RNG = np.random.default_rng(11)
+
+
+def test_list_models():
+    assert {"0k75bps", "1kbps", "1k5bps", "3kbps", "debug"} <= set(list_models())
+
+
+@pytest.mark.parametrize("name,hop,tok_levels", [
+    ("0k75bps", 360, (7,) * 6),
+    ("1kbps", 270, (7,) * 6),
+    ("1k5bps", 180, (7,) * 6),
+    ("3kbps", 96, (9, 9, 9, 7, 7, 7)),
+])
+def test_config_derived_values(name, hop, tok_levels):
+    cfg = get_config(name)
+    assert cfg.network_config.hop_length == hop
+    assert cfg.network_config.vq.levels == tok_levels
+    # README.md:71-76 rates
+    expected_bps = {"0k75bps": 748.6, "1kbps": 998.2, "1k5bps": 1497.3,
+                    "3kbps": 2988.6}[name]
+    assert abs(cfg.bps - expected_bps) < 0.5
+
+
+def _ref_encodec(name):
+    from l3ac.en_codec import EnCodec, ModelConfig as RefMC
+    cfg = get_config(name).network_config
+    torch.manual_seed(0)
+    ref_mc = RefMC(
+        feature_dim=cfg.feature_dim, compress_rates=cfg.compress_rates,
+        encoder_dims=cfg.encoder_dims, encoder_depths=cfg.encoder_depths,
+        decode_rates=cfg.decode_rates, decoder_dims=cfg.decoder_dims,
+        decoder_depths=cfg.decoder_depths, base_unit=cfg.base_unit,
+        use_norm=cfg.use_norm, use_snake_act=cfg.use_snake_act,
+        decoder_last_layer=cfg.decoder_last_layer,
+        vq_config=dict(name="super_fsq", levels=list(cfg.vq.levels),
+                       noise_rate=cfg.vq.noise_rate),
+        en_coder_depth=cfg.en_coder_depth,
+        en_coder_window_size=cfg.en_coder_window_size,
+        en_coder_dynamic_pos=cfg.en_coder_dynamic_pos,
+        en_coder_compress_rate=cfg.en_coder_compress_rate,
+        en_coder_cache_size=cfg.en_coder_cache_size,
+    )
+    return EnCodec(ref_mc).eval(), cfg
+
+
+def _convert(ref, mc):
+    sds = {name: {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+           for name, mod in ref.trainable_modules.items()}
+    return convert.convert_checkpoint(sds, mc)
+
+
+@pytest.mark.parametrize("name", ["debug"])
+def test_full_forward_parity_debug(name):
+    ref, mc = _ref_encodec(name)
+    params = _convert(ref, mc)
+    audio = (RNG.standard_normal((2, mc.hop_length * 10)) * 0.3).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(audio))
+    got = jcodec.forward(params, jnp.asarray(audio), mc)
+
+    np.testing.assert_array_equal(np.asarray(got["indices"]),
+                                  want["indices"].numpy())
+    np.testing.assert_allclose(np.asarray(got["generated_audio"]),
+                               want["generated_audio"].numpy(),
+                               rtol=1e-3, atol=1e-4)
+    hf_w, hf_g = want["hidden_feature"], got["hidden_feature"]
+    np.testing.assert_allclose(np.asarray(hf_g["encoded_feature"]),
+                               hf_w["encoded_feature"].permute(0, 2, 1).numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hf_g["quantized_feature"]),
+                               hf_w["quantized_feature"].permute(0, 2, 1).numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["1kbps", "3kbps"])
+def test_full_forward_parity_released_geometry(name):
+    ref, mc = _ref_encodec(name)
+    params = _convert(ref, mc)
+    audio = (RNG.standard_normal((1, mc.hop_length * 8)) * 0.3).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(audio))
+    got = jcodec.forward(params, jnp.asarray(audio), mc)
+
+    np.testing.assert_array_equal(np.asarray(got["indices"]),
+                                  want["indices"].numpy())
+    np.testing.assert_allclose(np.asarray(got["generated_audio"]),
+                               want["generated_audio"].numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_encode_decode_roundtrip_shapes():
+    for name in ("debug",):
+        cfg = get_config(name)
+        mc = cfg.network_config
+        params = jcodec.init_codec(jax.random.PRNGKey(0), mc)
+        T = mc.hop_length * 6
+        audio = jnp.asarray(RNG.standard_normal((2, T)).astype(np.float32))
+        padded, length = jcodec.preprocess(audio, mc)
+        q, idx = jcodec.encode(params, padded, mc)
+        assert idx.shape == (2, T // mc.hop_length)
+        out = jcodec.decode(params, q, mc)
+        assert out.shape == (2, T)
+        out2 = jcodec.decode_indices(params, idx, mc)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_chunk_data_identity():
+    """SURVEY Appendix A.4: 1000 samples, chunk 300, prefix 30 ->
+    lengths [300, 330, 330, 130]; reassembly is exact."""
+    data = RNG.standard_normal(1000).astype(np.float32)
+    cd = ChunkData(chunk_len=300, prefix_len=30, original_data=data)
+    lens = [len(c) for c in cd.chunk_data]
+    assert lens == [300, 330, 330, 130]
+    cd2 = ChunkData(chunk_len=300, prefix_len=30, chunk_data=cd.chunk_data)
+    np.testing.assert_array_equal(cd2.data, data)

@@ -1,0 +1,111 @@
+"""Multi-chip code paths on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from l3ac_tpu.config import get_config
+from l3ac_tpu.models import codec as fcodec
+from l3ac_tpu.parallel import halo
+from l3ac_tpu.parallel.mesh import make_mesh
+from l3ac_tpu import train
+
+RNG = np.random.default_rng(5)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_halo_exchange_matches_monolithic():
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    B, T, C, H = 2, 64, 4, 8
+    x = jnp.asarray(RNG.standard_normal((B, T, C)).astype(np.float32))
+
+    def f(xs):
+        return halo.halo_exchange(xs, left=H, right=H)
+
+    y = shard_map(f, mesh=mesh, in_specs=P(None, "sp", None),
+                  out_specs=P(None, "sp", None))(x)
+    # each shard's output is [left_halo | local | right_halo]; reassembled along
+    # T the result interleaves halos — check shard 1 explicitly
+    y = y.reshape(B, 4, (T // 4) + 2 * H, C)
+    shard1 = np.asarray(y[:, 1])
+    np.testing.assert_array_equal(shard1[:, :H], np.asarray(x[:, 16 - H:16]))
+    np.testing.assert_array_equal(shard1[:, H:-H], np.asarray(x[:, 16:32]))
+    np.testing.assert_array_equal(shard1[:, -H:], np.asarray(x[:, 32:32 + H]))
+    # edges zero-padded
+    y0 = np.asarray(y[:, 0])
+    assert (y0[:, :H] == 0).all()
+    y3 = np.asarray(y[:, 3])
+    assert (y3[:, -H:] == 0).all()
+
+
+def test_sp_apply_exactness_for_local_fn():
+    """A conv-like fn with receptive field <= halo must be exact under SP."""
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    B, T, C = 1, 96, 3
+    x = jnp.asarray(RNG.standard_normal((B, T, C)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((5, C, C)).astype(np.float32))
+
+    from l3ac_tpu.ops import conv1d
+
+    def local_fn(xs):
+        # causal-ish conv: pad left only, receptive field 4 frames back
+        return conv1d(jnp.pad(xs, ((0, 0), (4, 0), (0, 0))), k)
+
+    want = local_fn(x)
+
+    def sharded(xs):
+        return halo.sp_apply(local_fn, xs, halo_in=4)
+
+    got = shard_map(sharded, mesh=mesh, in_specs=P(None, "sp", None),
+                    out_specs=P(None, "sp", None))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dp_sharded_encode_matches_single_device():
+    cfg = get_config("debug")
+    mc = cfg.network_config
+    params = fcodec.init_codec(jax.random.PRNGKey(0), mc)
+    audio = jnp.asarray((RNG.standard_normal((8, mc.hop_length * 4)) * 0.3)
+                        .astype(np.float32))
+
+    q1, idx1 = jax.jit(lambda p, a: fcodec.encode(p, a, mc))(params, audio)
+
+    mesh = make_mesh(dp=8, sp=1, tp=1)
+    audio_sh = jax.device_put(audio, NamedSharding(mesh, P("dp", None)))
+    params_sh = jax.device_put(params, NamedSharding(mesh, P()))
+    q2, idx2 = jax.jit(lambda p, a: fcodec.encode(p, a, mc))(params_sh, audio_sh)
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sharded_train_step_runs():
+    cfg = get_config("debug")
+    mc = cfg.network_config
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    params = fcodec.init_codec(jax.random.PRNGKey(0), mc)
+
+    step, shard_params, audio_sh = train.make_sharded_train_step(mesh, mc)
+    with mesh:
+        params = shard_params(params)
+        audio = jax.device_put(
+            jnp.asarray((RNG.standard_normal((4, mc.hop_length * 8)) * 0.3)
+                        .astype(np.float32)), audio_sh)
+        new_params, metrics = step(params, audio)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_graft_entry_dryrun():
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location("__graft_entry__",
+                                      "/root/repo/__graft_entry__.py")
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
