@@ -100,32 +100,45 @@ class StreamCodec:
     # -- decode ------------------------------------------------------------
     def decode_streams(self, features: list[np.ndarray],
                        lengths: list[int] | None = None) -> list[np.ndarray]:
-        """Decode per-stream feature arrays (T_i, C) back to audio."""
+        """Decode per-stream feature arrays (T_i, C) back to audio.
+
+        Full interior chunks share one fixed-shape compiled program. Tail
+        chunks are decoded at their *exact* token length (one cached compile
+        per distinct tail size): the conv decoder's EnhanceBlock InstanceNorm
+        is global over time, so zero-padding a tail would perturb the whole
+        chunk — unlike the encoder, where trailing zeros are provably
+        transparent (causal attention + per-position norms).
+        """
         hop = self.mc.hop_length
         tok_in = self.tok_prefix + self.tok_chunk
-        n_chunks = [math.ceil(len(f) / self.tok_chunk) for f in features]
+        n_chunks = [max(1, math.ceil(len(f) / self.tok_chunk)) for f in features]
         total = max(n_chunks)
-        outs = [[] for _ in features]
-        C = features[0].shape[-1]
-        for c in range(total):
-            rows, ids = [], []
-            for i, f in enumerate(features):
-                if c >= n_chunks[i]:
-                    continue
+        outs = [[None] * n_chunks[i] for i in range(len(features))]
+
+        # gather all (stream, chunk) segments, grouped by segment token length
+        groups: dict[int, list] = {}
+        for i, f in enumerate(features):
+            f = np.asarray(f, np.float32)
+            for c in range(n_chunks[i]):
                 start = c * self.tok_chunk
                 lo = max(0, start - self.tok_prefix)
-                seg = np.asarray(f[lo:start + self.tok_chunk], np.float32)
-                row = np.zeros((tok_in, C), np.float32)
-                row[:len(seg)] = seg
-                rows.append(row)
-                ids.append((i, c, start - lo, len(seg)))
-            while len(rows) % self.batch_size and len(rows) < self.batch_size:
-                rows.append(np.zeros((tok_in, C), np.float32))
-            x = jnp.asarray(np.stack(rows))
-            audio = np.asarray(self._decode(self.model.params, x))
-            for r, (i, cc, pre, seg_len) in enumerate(ids):
-                a = audio[r][: seg_len * hop]
-                outs[i].append(a[pre * hop:])
+                seg = f[lo:start + self.tok_chunk]
+                groups.setdefault(len(seg), []).append((i, c, start - lo, seg))
+
+        for seg_len, items in groups.items():
+            for ofs in range(0, len(items), self.batch_size):
+                batch = items[ofs:ofs + self.batch_size]
+                x = np.stack([seg for (_, _, _, seg) in batch])
+                pad_rows = 0
+                if seg_len == tok_in and len(batch) < self.batch_size:
+                    pad_rows = self.batch_size - len(batch)
+                    x = np.concatenate(
+                        [x, np.zeros((pad_rows, *x.shape[1:]), np.float32)])
+                audio = np.asarray(self._decode(self.model.params,
+                                                jnp.asarray(x)))
+                for r, (i, c, pre, _) in enumerate(batch):
+                    outs[i][c] = audio[r][pre * hop:]
+
         result = [np.concatenate(o) for o in outs]
         if lengths is not None:
             result = [r[:l] for r, l in zip(result, lengths)]
