@@ -85,14 +85,15 @@ def decode_indices(params: dict, indices: jnp.ndarray, mc: ModelConfig) -> jnp.n
 
 
 def forward(params: dict, audio: jnp.ndarray, mc: ModelConfig, *,
-            training: bool = False) -> dict:
+            training: bool = False, rng=None) -> dict:
     """Training-style round trip returning the reference's output dict
-    (``EnCodec.forward``, ``l3ac/en_codec.py:53-72``)."""
+    (``EnCodec.forward``, ``l3ac/en_codec.py:53-72``). ``rng`` enables the
+    train-time FSQ noise injection."""
     padded, length = preprocess(audio, mc)
     feature = encoder_apply(params["encoder"], padded[..., None], mc)
     trans_feature = en_encoder_apply(params["en_encoder"], feature, mc)
     q_trans, indices, _ = quantizer_apply(params["quantizer"], trans_feature,
-                                          mc.vq, training=training)
+                                          mc.vq, training=training, rng=rng)
     q_feature = en_decoder_apply(params["en_decoder"], q_trans, mc)
     y = decoder_apply(params["decoder"], q_feature, mc)[..., 0]
     return {

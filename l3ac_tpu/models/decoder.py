@@ -81,6 +81,11 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
             h = channel_norm(h, stage["up_norm"]["w"], stage["up_norm"]["b"])
 
     if mc.decoder_last_layer == "legacy":
+        from ..ops import pallas as pk
+        if pk.enabled():
+            # whole tail (3 legacy units + snake + out conv + tanh) fused
+            return pk.legacy_tail.legacy_tail(h, p["tail_units"],
+                                              p["tail_alpha"], p["out_conv"])
         for unit, d in zip(p["tail_units"], TAIL_DILATIONS):
             h = residual_legacy_unit_apply(unit, h, dilation=d)
     elif mc.decoder_last_layer == "dilation":

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import conv1d, snake, gelu, channel_norm, grn
-from ..ops.conv import linear
+from ..ops.conv import linear_p
 from ..utils import init as pinit
 
 
@@ -41,14 +41,19 @@ def conv_unit_apply(p: dict, x: jnp.ndarray, *, dilation: int = 1,
                groups=dim)
     if "norm" in p:
         y = channel_norm(y, p["norm"]["w"], p["norm"]["b"])
-    y = linear(y, p["pw1"]["w"], p["pw1"]["b"])
+    y = linear_p(y, p["pw1"])
     y = snake(y, p["alpha"]) if "alpha" in p else gelu(y)
     y = grn(y, p["grn"]["gamma"], p["grn"]["beta"])
-    y = linear(y, p["pw2"]["w"], p["pw2"]["b"])
+    y = linear_p(y, p["pw2"])
     return y
 
 
 def residual_conv_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
+    from ..ops import pallas as pk
+    # fused kernel wins for C >= 96 (measured on v5e); narrow-channel units
+    # are better served by XLA until the transposed-layout kernel lands
+    if pk.enabled() and "w" in p["pw1"] and x.shape[-1] >= 96:
+        return pk.conv_unit.conv_unit(x, p, **kw)
     return x + conv_unit_apply(p, x, **kw)
 
 

@@ -15,12 +15,14 @@ en_coder_dynamic_pos = true).
 
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import attention, geglu, upsample_linear
-from ..ops.conv import linear, conv1d_strided_matmul
+from ..ops.pallas import local_attention as pallas_attention
+from ..ops.conv import linear, linear_p, conv1d_strided_matmul
 from ..ops.norms import layer_norm
 from ..utils import init as pinit
 
@@ -86,22 +88,28 @@ def _mha_apply(p: dict, x: jnp.ndarray, tc: TransConfig,
     """Pre-norm local MHA. x: (B, T, C), T already padded to a window multiple."""
     B, T, _ = x.shape
     h = layer_norm(x, p["norm"]["w"], p["norm"]["b"])
-    qkv = linear(h, p["qkv"]["w"])                     # (B, T, 3*inner)
+    qkv = linear_p(h, p["qkv"])                     # (B, T, 3*inner)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
         return t.reshape(B, T, tc.heads, tc.dim_head).transpose(0, 2, 1, 3)
 
-    out = attention.local_attention(heads(q), heads(k), heads(v),
-                                    window_size=tc.window_size, bias=bias)
+    # fused Pallas kernel on TPU (1.7x at window 750); jnp reference elsewhere
+    # or when L3AC_TPU_NO_PALLAS is set
+    use_pallas = (jax.default_backend() not in ("cpu",)
+                  and not os.environ.get("L3AC_TPU_NO_PALLAS"))
+    attn_fn = (pallas_attention.local_attention if use_pallas
+               else attention.local_attention)
+    out = attn_fn(heads(q), heads(k), heads(v),
+                  window_size=tc.window_size, bias=bias)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, tc.inner_dim)
-    return linear(out, p["out"]["w"])
+    return linear_p(out, p["out"])
 
 
 def _ff_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     h = layer_norm(x, p["norm"]["w"], p["norm"]["b"])
-    h = geglu(linear(h, p["w1"]["w"]))
-    return linear(h, p["w2"]["w"])
+    h = geglu(linear_p(h, p["w1"]))
+    return linear_p(h, p["w2"])
 
 
 def local_trans_apply(p: dict, x: jnp.ndarray, tc: TransConfig) -> jnp.ndarray:

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ..config import VQConfig
 from ..ops import fsq
-from ..ops.conv import linear
+from ..ops.conv import linear_p
 from ..utils import init as pinit
 
 
@@ -27,18 +27,20 @@ def init_quantizer(key, feature_dim: int, vq: VQConfig, dtype=jnp.float32) -> di
 
 
 def quantizer_apply(p: dict, x: jnp.ndarray, vq: VQConfig, *,
-                    training: bool = False):
+                    training: bool = False, rng=None):
     """x: (B, T, feature_dim) -> (q_features, indices (B,T) int32, level_indices).
 
     Eval path (noise_rate forced 0, reference ``l3ac/vq/fsq.py:31``); the
-    training path applies the straight-through estimator.
+    training path applies the straight-through estimator and, when ``rng`` is
+    given, the reference's uniform-noise injection at ``vq.noise_rate``.
     """
-    z = linear(x, p["proj_in"]["w"], p["proj_in"]["b"]) if p else x
+    z = linear_p(x, p["proj_in"]) if p else x
     if training:
-        q_z, indices, li = fsq.quantize_ste(z, vq.levels)
+        q_z, indices, li = fsq.quantize_ste(z, vq.levels,
+                                            noise_rate=vq.noise_rate, rng=rng)
     else:
         q_z, indices, li = fsq.quantize(z, vq.levels)
-    q = linear(q_z, p["proj_out"]["w"], p["proj_out"]["b"]) if p else q_z
+    q = linear_p(q_z, p["proj_out"]) if p else q_z
     return q, indices, li
 
 
@@ -46,4 +48,4 @@ def indices_to_features(p: dict, indices: jnp.ndarray, vq: VQConfig,
                         dtype=jnp.float32) -> jnp.ndarray:
     """Closed-form decode path (``VQEmbed.to_features``, ``l3ac/vq/__init__.py:20-23``)."""
     codes = fsq.indices_to_codes(indices, vq.levels, dtype=dtype)
-    return linear(codes, p["proj_out"]["w"], p["proj_out"]["b"]) if p else codes
+    return linear_p(codes, p["proj_out"]) if p else codes

@@ -152,14 +152,32 @@ def get_model(name: str, *, pretrained: bool = True, **overrides) -> L3AC:
     return model
 
 
-def get_model_info(model: L3AC) -> dict:
-    """Model-card numbers (reference ``get_model_info``, ``l3ac/__init__.py:28-51``)."""
+def get_model_info(model: L3AC, eval_flops_seconds: int = 10) -> dict:
+    """Model-card numbers (reference ``get_model_info``, ``l3ac/__init__.py:28-51``).
+
+    MACs come from XLA's compiled cost analysis of the full forward over
+    ``eval_flops_seconds`` of audio (the reference uses ptflops for the same
+    number); best-effort — some backends don't report flops.
+    """
     cfg = model.config
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(model.params))
-    return {
+    info = {
         "params": n_params,
         "codebook_size": cfg.network_config.vq.codebook_size,
         "frame_rate": cfg.frame_rate,
         "bps": cfg.bps,
         "receptive_field": cfg.receptive_field_seconds,
     }
+    try:
+        mc = model.mc
+        T = eval_flops_seconds * cfg.sample_rate // mc.hop_length * mc.hop_length
+        lowered = jax.jit(partial(fcodec.forward, mc=mc)).lower(
+            model.params, jnp.zeros((1, T), model.dtype))
+        cost = lowered.compile().cost_analysis()
+        flops = cost.get("flops") if cost else None
+        if flops:
+            info["macs"] = int(flops / 2)
+            info["macs_per_audio_second"] = int(flops / 2 / eval_flops_seconds)
+    except Exception:  # pragma: no cover - backend-dependent
+        pass
+    return info

@@ -72,3 +72,13 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.
     if b is not None:
         y = y + b
     return y
+
+
+def linear_p(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Dense layer from a param dict; transparently supports int8 weight-only
+    quantized leaves ({"w_q", "w_scale"}) produced by ops.quantized."""
+    if "w_q" in p:
+        w = (p["w_q"].astype(x.dtype) * p["w_scale"].astype(x.dtype))
+    else:
+        w = p["w"]
+    return linear(x, w, p.get("b"))

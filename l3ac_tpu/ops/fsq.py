@@ -34,6 +34,19 @@ def act_fn(name: str):
     raise NotImplementedError(f"act_func({name}) has not been implemented yet.")
 
 
+def inv_act_fn(name: str):
+    """(0, 1) -> (-inf, inf) exact inverses (reference ``fsq_act.py``). The
+    released configs never use these (decode uses the linear ``x*2-1``
+    override, ``l3ac/vq/fsq.py:20``); provided for config parity."""
+    if name == "tanh":
+        return lambda a: jnp.arctanh(a * 2.0 - 1.0)
+    if name == "cdf":
+        return lambda a: jax.scipy.special.erfinv(2.0 * a - 1.0) * SQRT2
+    if name == "sigmoid":
+        return lambda a: jnp.log(a / (1.0 - a))
+    raise NotImplementedError(f"act_func({name}) has not been implemented yet.")
+
+
 def _levels_arrays(levels: tuple[int, ...]):
     lv = jnp.asarray(levels, dtype=jnp.float32)
     basis = jnp.asarray(

@@ -1,0 +1,18 @@
+"""Pallas TPU kernels for the hot ops.
+
+Every kernel has a pure-jnp reference implementation in ``l3ac_tpu.ops``; the
+kernels are drop-in replacements validated against those references in
+``tests/test_pallas.py``.
+"""
+
+import os
+
+import jax
+
+from . import conv_unit, legacy_tail, local_attention  # noqa: F401
+
+
+def enabled() -> bool:
+    """Use Pallas kernels on accelerator backends unless L3AC_TPU_NO_PALLAS."""
+    return (jax.default_backend() != "cpu"
+            and not os.environ.get("L3AC_TPU_NO_PALLAS"))

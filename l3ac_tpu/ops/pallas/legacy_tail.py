@@ -1,0 +1,136 @@
+"""Fused decoder tail Pallas kernel — transposed (C, T) layout.
+
+The 'legacy' decoder tail (reference ``l3ac/modules.py:174-195``) runs at full
+audio rate with only 24 channels. In the natural (T, C) layout every MXU/VPU
+op uses 24 of 128 lanes and the conv matmuls stream M=T rows against K=N=24 —
+measured 92 ms vs XLA's 62 ms at B=16/10 s. Transposing to (C, T) puts time in
+lanes: each conv tap is a (24, 24) @ (24, S) matmul whose MXU time scales with
+M=24 streamed rows instead of M=S (5x fewer cycles), and every elementwise op
+runs at full lane width.
+
+Chain per tile, entirely in VMEM:
+
+    3 x [ x + Conv_k1(Snake(Conv_k7_dil{1,3,9}(Snake(x)))) ]
+    -> Snake -> Conv_k7 (C->1) -> Tanh
+
+Chained convs need exact zero-padding semantics at sequence edges at *every*
+stage: out-of-sequence lanes are re-zeroed after each conv (a conv's bias
+makes zero inputs nonzero, which must not leak back in). Halo = 3*(1+3+9)+3 =
+42 samples per side from neighbor tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DILATIONS = (1, 3, 9)
+HALO = 3 * sum(DILATIONS) + 3  # 42
+
+
+def _snake(x, a):
+    return x + jnp.sin(a * x) ** 2 / (a + 1e-8)
+
+
+def _conv_lanes(x, w, b, dilation, R):
+    """Conv along lanes. x: (C, Rp) f32 already zero-padded by (K-1)*dil//2 on
+    each side; w: (K, C, Cout); returns (Cout, R)."""
+    K = w.shape[0]
+    acc = jnp.broadcast_to(b[:, None], (w.shape[2], R)).astype(jnp.float32)
+    for k in range(K):
+        acc = acc + jnp.dot(w[k].astype(jnp.float32).T,
+                            x[:, k * dilation:k * dilation + R],
+                            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1_ref, b1_ref, a2_ref, w2_ref,
+            b2_ref, ao_ref, wo_ref, bo_ref, o_ref, *, n_tiles: int,
+            total_cols: int):
+    t = pl.program_id(1)
+    C = xc_ref.shape[1]
+    S = xc_ref.shape[2]
+    R = S + 2 * HALO
+
+    prev = xp_ref[0, :, S - HALO:]
+    nxt = xn_ref[0, :, :HALO]
+    prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
+    nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
+    x = jnp.concatenate([prev, xc_ref[0], nxt], axis=1).astype(jnp.float32)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) + (t * S - HALO)
+    valid = (cols >= 0) & (cols < total_cols)
+    x = jnp.where(valid, x, 0.0)
+
+    for u, d in enumerate(DILATIONS):
+        h = _snake(x, a1_ref[u].astype(jnp.float32)[:, None])
+        pad = 3 * d
+        hp = jnp.pad(h, ((0, 0), (pad, pad)))
+        h = _conv_lanes(hp, w1_ref[u], b1_ref[u].astype(jnp.float32), d, R)
+        h = jnp.where(valid, h, 0.0)
+        h = _snake(h, a2_ref[u].astype(jnp.float32)[:, None])
+        h = jnp.dot(w2_ref[u].astype(jnp.float32).T, h,
+                    preferred_element_type=jnp.float32) + \
+            b2_ref[u].astype(jnp.float32)[:, None]
+        x = jnp.where(valid, x + h, 0.0)
+
+    h = _snake(x, ao_ref[0].astype(jnp.float32)[:, None])
+    hp = jnp.pad(h, ((0, 0), (3, 3)))
+    y = _conv_lanes(hp, wo_ref[...], bo_ref[0].astype(jnp.float32), 1, R)
+    o_ref[0] = jnp.tanh(y[:, HALO:HALO + S]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def legacy_tail(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
+                interpret: bool = False) -> jnp.ndarray:
+    """x: (B, T, C=24) -> (B, T, 1). ``tail_units``: the decoder's 3 legacy
+    unit param dicts; ``out_conv``: k=7 C->1 conv params."""
+    B, T, C = x.shape
+    S = 2048
+    pad = (-T) % S
+    xt = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    NT = (T + pad) // S
+    # transposed layout: channels in sublanes, time in lanes
+    xf = xt.transpose(0, 2, 1).reshape(B, C, NT, S).transpose(0, 2, 1, 3) \
+        .reshape(B * NT, C, S)
+
+    a1 = jnp.stack([u["alpha1"] for u in tail_units])            # (3, C)
+    w1 = jnp.stack([u["conv1"]["w"] for u in tail_units])        # (3, 7, C, C)
+    b1 = jnp.stack([u["conv1"]["b"] for u in tail_units])        # (3, C)
+    a2 = jnp.stack([u["alpha2"] for u in tail_units])
+    w2 = jnp.stack([u["conv2"]["w"][0] for u in tail_units])     # (3, C, C)
+    b2 = jnp.stack([u["conv2"]["b"] for u in tail_units])
+    ao = tail_alpha.reshape(1, -1)
+    wo = out_conv["w"]                                           # (7, C, 1)
+    bo = out_conv["b"].reshape(1, -1)
+
+    def cur_map(b, t):
+        return (b * NT + t, 0, 0)
+
+    def prev_map(b, t):
+        return (b * NT + jnp.maximum(t - 1, 0), 0, 0)
+
+    def next_map(b, t):
+        return (b * NT + jnp.minimum(t + 1, NT - 1), 0, 0)
+
+    xspec = lambda imap: pl.BlockSpec((1, C, S), imap, memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    consts = [a1, w1, b1, a2, w2, b2, ao, wo, bo]
+
+    kernel = functools.partial(_kernel, n_tiles=NT, total_cols=T)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, NT),
+        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
+                 [full(a) for a in consts],
+        out_specs=pl.BlockSpec((1, 1, S), cur_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * NT, 1, S), x.dtype),
+        interpret=interpret,
+    )(xf, xf, xf, *consts)
+    out = out.reshape(B, NT * S, 1)
+    return out[:, :T] if pad else out

@@ -51,13 +51,22 @@ class StreamCodec:
         self._decode = jax.jit(partial(fcodec.decode, mc=mc))
 
     # -- encode ------------------------------------------------------------
-    def encode_streams(self, audios: list[np.ndarray]) -> list[np.ndarray]:
+    def encode_streams(self, audios: list[np.ndarray],
+                       use_native: bool | None = None) -> list[np.ndarray]:
         """Encode a list of variable-length streams -> per-stream token arrays.
 
         Streams are chunked with 1-hop overlap; chunk b of every stream is
         batched into one fixed-shape device call. Token outputs drop the
         overlap tokens exactly like ``ChunkData`` reassembly.
+
+        ``use_native``: route host-side chunk assembly through the C++ framer
+        (``l3ac_tpu.runtime.native``); default auto-detects availability.
         """
+        from . import native as native_mod
+        if use_native is None:
+            use_native = native_mod.available()
+        if use_native:
+            return self._encode_streams_native(audios)
         hop = self.mc.hop_length
         padded = []
         for a in audios:
@@ -96,6 +105,44 @@ class StreamCodec:
                     toks = toks[self.tok_prefix:]
                 tokens[i].append(toks)
         return [np.concatenate(t) for t in tokens]
+
+    def _encode_streams_native(self, audios: list[np.ndarray]) -> list[np.ndarray]:
+        """Encode with C++-side chunk assembly + zero-copy batch buffers.
+
+        The framer hands back (batch, prefix+chunk) rows with per-row valid
+        lengths; rows are right-padded with zeros, which is transparent to the
+        encoder (causal attention + per-position norms + zero conv padding),
+        so tokens match the python path bit-for-bit.
+        """
+        from .native import NativeFramer
+
+        hop = self.mc.hop_length
+        framer = NativeFramer(self.chunk_len, self.prefix_len, self.batch_size)
+        sids = []
+        for a in audios:
+            a = np.asarray(a, np.float32).reshape(-1)
+            pad = math.ceil(len(a) / hop) * hop - len(a)
+            sid = framer.add_stream()
+            framer.feed(sid, np.pad(a, (0, pad)))
+            framer.finish(sid)
+            sids.append(sid)
+
+        tokens: dict[int, dict[int, np.ndarray]] = {s: {} for s in sids}
+        while framer.pending():
+            rows, batch, row_sids, row_cids, valid = framer.next_batch()
+            if rows == 0:
+                break
+            _, idx = self._encode(self.model.params, jnp.asarray(batch))
+            idx = np.asarray(idx)
+            for r in range(rows):
+                sid, c = int(row_sids[r]), int(row_cids[r])
+                n_tok = math.ceil(int(valid[r]) / hop)
+                toks = idx[r][:n_tok]
+                if c > 0:
+                    toks = toks[self.tok_prefix:]
+                tokens[sid][c] = toks
+        return [np.concatenate([tokens[s][c] for c in sorted(tokens[s])])
+                for s in sids]
 
     # -- decode ------------------------------------------------------------
     def decode_streams(self, features: list[np.ndarray],

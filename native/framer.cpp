@@ -1,0 +1,150 @@
+// Host-side stream framer / continuous-batching feeder (C++).
+//
+// The TPU wants fixed-shape batches; audio arrives as ragged, unbounded
+// streams. This component owns the host-side hot loop: per-stream ring
+// buffers, chunk assembly with the reference's 1-hop prefix overlap
+// (ChunkData semantics, reference l3ac/codec.py:159-188), and zero-copy
+// batch assembly into caller-provided (batch, prefix+chunk) float32 buffers.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment). The Python
+// fallback implementation lives in l3ac_tpu/runtime/streaming.py; parity is
+// tested in tests/test_native.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <vector>
+
+namespace {
+
+struct Stream {
+    std::vector<float> buffer;   // pending samples (appended by feed())
+    int64_t consumed = 0;        // absolute sample index of buffer start
+    int64_t chunk_index = 0;     // next chunk number to emit
+    bool finished = false;       // no more feed() calls will arrive
+    bool done = false;           // all chunks emitted
+};
+
+struct Framer {
+    int64_t chunk_len;
+    int64_t prefix_len;
+    int batch;
+    std::vector<Stream> streams;
+    std::deque<int> ready;       // round-robin queue of stream ids to poll
+};
+
+// number of samples stream needs buffered (relative to chunk start) before
+// chunk c can be emitted
+inline int64_t chunk_start(const Framer& f, int64_t c) {
+    return c == 0 ? 0 : c * f.chunk_len - f.prefix_len;
+}
+inline int64_t chunk_end(const Framer& f, int64_t c) {
+    return (c + 1) * f.chunk_len;
+}
+
+}  // namespace
+
+extern "C" {
+
+Framer* framer_create(int64_t chunk_len, int64_t prefix_len, int batch) {
+    if (chunk_len <= prefix_len || batch <= 0) return nullptr;
+    auto* f = new Framer();
+    f->chunk_len = chunk_len;
+    f->prefix_len = prefix_len;
+    f->batch = batch;
+    return f;
+}
+
+void framer_destroy(Framer* f) { delete f; }
+
+int framer_add_stream(Framer* f) {
+    f->streams.emplace_back();
+    int id = static_cast<int>(f->streams.size()) - 1;
+    f->ready.push_back(id);
+    return id;
+}
+
+// append samples to a stream; returns 0 on success
+int framer_feed(Framer* f, int stream_id, const float* data, int64_t n) {
+    if (stream_id < 0 || stream_id >= (int)f->streams.size()) return -1;
+    Stream& s = f->streams[stream_id];
+    if (s.finished) return -2;
+    s.buffer.insert(s.buffer.end(), data, data + n);
+    return 0;
+}
+
+int framer_finish_stream(Framer* f, int stream_id) {
+    if (stream_id < 0 || stream_id >= (int)f->streams.size()) return -1;
+    f->streams[stream_id].finished = true;
+    return 0;
+}
+
+// Assemble up to `batch` chunk rows into out (batch x (prefix+chunk) floats,
+// zero-filled). Row r gets stream stream_ids[r], chunk number chunk_ids[r],
+// with row_valid[r] = number of valid samples in that row (tail chunks are
+// shorter). Returns the number of rows filled.
+int framer_next_batch(Framer* f, float* out, int* stream_ids,
+                      int64_t* chunk_ids, int64_t* row_valid) {
+    const int64_t row_len = f->prefix_len + f->chunk_len;
+    int rows = 0;
+    std::memset(out, 0, sizeof(float) * row_len * f->batch);
+    size_t polled = 0, total = f->ready.size();
+    while (rows < f->batch && polled < total) {
+        int id = f->ready.front();
+        f->ready.pop_front();
+        polled++;
+        Stream& s = f->streams[id];
+        if (s.done) continue;
+        const int64_t c = s.chunk_index;
+        const int64_t start = chunk_start(*f, c);
+        const int64_t end = chunk_end(*f, c);
+        const int64_t have = s.consumed + (int64_t)s.buffer.size();
+        const bool full = have >= end;
+        const bool tail = s.finished && have > start && have < end;
+        if (full || tail) {
+            const int64_t seg_end = full ? end : have;
+            const int64_t seg_len = seg_end - start;
+            const float* src = s.buffer.data() + (start - s.consumed);
+            std::memcpy(out + (int64_t)rows * row_len, src,
+                        sizeof(float) * seg_len);
+            stream_ids[rows] = id;
+            chunk_ids[rows] = c;
+            row_valid[rows] = seg_len;
+            rows++;
+            s.chunk_index++;
+            // drop samples no longer needed (keep prefix for the next chunk);
+            // after a tail chunk next_start can exceed what is buffered
+            const int64_t next_start = chunk_start(*f, s.chunk_index);
+            if (next_start > s.consumed) {
+                const int64_t drop = std::min<int64_t>(
+                    next_start - s.consumed, (int64_t)s.buffer.size());
+                s.buffer.erase(s.buffer.begin(), s.buffer.begin() + drop);
+                s.consumed += drop;
+            }
+            if (s.finished &&
+                s.consumed + (int64_t)s.buffer.size() <=
+                    chunk_start(*f, s.chunk_index)) {
+                s.done = true;
+            } else {
+                f->ready.push_back(id);
+            }
+        } else if (!s.finished) {
+            f->ready.push_back(id);  // waiting for more samples
+        } else {
+            s.done = true;           // finished with nothing left to emit
+        }
+    }
+    return rows;
+}
+
+// count of streams that still have (or may have) chunks to emit
+int framer_pending(Framer* f) {
+    int n = 0;
+    for (auto& s : f->streams)
+        if (!s.done) n++;
+    return n;
+}
+
+}  // extern "C"

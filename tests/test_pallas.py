@@ -1,0 +1,80 @@
+"""Pallas kernels vs their jnp reference implementations (interpret mode on CPU;
+the same kernels compile natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from l3ac_tpu.ops import attention as ref_attn
+from l3ac_tpu.ops.pallas import local_attention as pl_attn
+
+RNG = np.random.default_rng(13)
+
+
+@pytest.mark.parametrize("B,H,T,D,n", [
+    (2, 3, 64, 16, 16),
+    (1, 6, 96, 32, 24),
+])
+def test_pallas_local_attention_matches_reference(B, H, T, D, n):
+    q = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+
+    want = ref_attn.local_attention(q, k, v, window_size=n)
+    got = pl_attn.local_attention(q, k, v, window_size=n, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,T,C,use_norm", [
+    (2, 300, 32, True),
+    (2, 257, 16, False),
+])
+def test_pallas_conv_unit_matches_reference(B, T, C, use_norm):
+    from l3ac_tpu.models.layers import init_conv_unit, conv_unit_apply
+    from l3ac_tpu.ops.pallas.conv_unit import conv_unit
+    p = init_conv_unit(jax.random.PRNGKey(0), C, snake_act=True,
+                       use_norm=use_norm)
+    x = jnp.asarray(RNG.standard_normal((B, T, C)).astype(np.float32))
+    want = x + conv_unit_apply(p, x)
+    got = conv_unit(x, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_legacy_tail_matches_reference():
+    from l3ac_tpu.config import get_config
+    from l3ac_tpu.models.decoder import init_decoder
+    from l3ac_tpu.models.layers import residual_legacy_unit_apply
+    from l3ac_tpu.ops import conv1d, snake
+    from l3ac_tpu.ops.pallas.legacy_tail import legacy_tail
+
+    mc = get_config("debug").network_config
+    p = init_decoder(jax.random.PRNGKey(3), mc)
+    C = mc.decoder_dims[-1]
+    x = jnp.asarray(RNG.standard_normal((2, 5000, C)).astype(np.float32)) * 0.5
+    h = x
+    for u, d in zip(p["tail_units"], (1, 3, 9)):
+        h = residual_legacy_unit_apply(u, h, dilation=d)
+    want = jnp.tanh(conv1d(snake(h, p["tail_alpha"]), p["out_conv"]["w"],
+                           p["out_conv"]["b"], padding=3))
+    got = legacy_tail(x, p["tail_units"], p["tail_alpha"], p["out_conv"],
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_local_attention_with_bias():
+    B, H, T, D, n = 1, 6, 48, 32, 16
+    q = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    bias = jnp.asarray(RNG.standard_normal((H, n, 2 * n)).astype(np.float32))
+
+    want = ref_attn.local_attention(q, k, v, window_size=n, bias=bias)
+    got = pl_attn.local_attention(q, k, v, window_size=n, bias=bias,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -55,6 +55,22 @@ def test_stream_codec_decode_single_chunk_exact():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_stream_codec_native_path_matches_python():
+    from l3ac_tpu.runtime import native
+    if not native.available():
+        import pytest
+        pytest.skip("native framer unavailable")
+    model = get_model("debug", pretrained=False)
+    hop = model.mc.hop_length
+    sc = StreamCodec(model, chunk_seconds=hop * 12 / 16000, batch_size=3)
+    streams = [(RNG.standard_normal(n) * 0.3).astype(np.float32)
+               for n in (hop * 25, hop * 7 - 3, hop * 40 + 11)]
+    t_py = sc.encode_streams(streams, use_native=False)
+    t_nat = sc.encode_streams(streams, use_native=True)
+    for a, b in zip(t_py, t_nat):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_stream_codec_many_ragged_streams():
     model = get_model("debug", pretrained=False)
     hop = model.mc.hop_length
