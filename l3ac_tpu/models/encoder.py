@@ -50,7 +50,12 @@ def init_encoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
 
 def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
     """x: (B, T, 1) -> (B, T // conv_hop, feature_dim). T must be a hop multiple."""
-    h = first_block_apply(p["first"], x)
+    from ..ops import pallas as pk
+    if pk.enabled():
+        # fused transposed-layout stem (35 -> ~4 ms at B=16/10 s on v5e)
+        h = pk.first_block.first_block(x, p["first"])
+    else:
+        h = first_block_apply(p["first"], x)
     for stage, stride in zip(p["stages"], mc.compress_rates):
         for unit in stage["units"]:
             h = residual_conv_unit_apply(unit, h)

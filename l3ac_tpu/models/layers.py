@@ -50,10 +50,12 @@ def conv_unit_apply(p: dict, x: jnp.ndarray, *, dilation: int = 1,
 
 def residual_conv_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
     from ..ops import pallas as pk
-    # fused kernel wins for C >= 96 (measured on v5e); narrow-channel units
-    # are better served by XLA until the transposed-layout kernel lands
-    if pk.enabled() and "w" in p["pw1"] and x.shape[-1] >= 96:
-        return pk.conv_unit.conv_unit(x, p, **kw)
+    if pk.enabled() and "w" in p["pw1"]:  # dense weights only
+        # natural layout for wide channels; transposed (time-in-lanes) layout
+        # for narrow ones (measured crossover on v5e)
+        if x.shape[-1] >= 96:
+            return pk.conv_unit.conv_unit(x, p, **kw)
+        return pk.conv_unit.conv_unit_t(x, p, **kw)
     return x + conv_unit_apply(p, x, **kw)
 
 

@@ -9,7 +9,7 @@ import os
 
 import jax
 
-from . import conv_unit, legacy_tail, local_attention  # noqa: F401
+from . import conv_unit, first_block, legacy_tail, local_attention  # noqa: F401
 
 
 def enabled() -> bool:

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _math
+
 
 def _kernel(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
             w1_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2_ref, b2_ref,
@@ -65,7 +67,7 @@ def _kernel(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
         a = alpha_ref[0].astype(jnp.float32)
         h = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
     else:
-        h = jax.nn.gelu(h, approximate=False)
+        h = _math.gelu_exact(h)
 
     # GRN with n = 1 (see module docstring)
     h = gamma_ref[0].astype(jnp.float32) * h + beta_ref[0].astype(jnp.float32) + h
@@ -74,6 +76,112 @@ def _kernel(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
                 preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
     o_ref[0] = (xc.astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
+def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
+              w1_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2_ref, b2_ref,
+              o_ref, *, halo: int, kernel_size: int, dilation: int,
+              has_norm: bool, has_snake: bool, n_tiles: int):
+    """Transposed (C, T) variant for narrow channel counts: time in lanes,
+    channels in sublanes; dw conv = shifted FMAs, norm = sublane reduction,
+    pointwise convs = narrow-M matmuls (same rationale as legacy_tail)."""
+    t = pl.program_id(1)
+    C = xc_ref.shape[1]
+    S = xc_ref.shape[2]
+    R = S + 2 * halo
+
+    prev = xp_ref[0, :, S - halo:]
+    nxt = xn_ref[0, :, :halo]
+    prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
+    nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
+    xpad = jnp.concatenate([prev, xc_ref[0], nxt], axis=1).astype(jnp.float32)
+
+    acc = jnp.broadcast_to(dwb_ref[...].astype(jnp.float32).T, (C, S))
+    for k in range(kernel_size):
+        off = k * dilation
+        acc = acc + xpad[:, off:off + S] * \
+            dww_ref[k].astype(jnp.float32)[:, None]
+
+    if has_norm:
+        u = jnp.mean(acc, axis=0, keepdims=True)
+        s = jnp.mean((acc - u) ** 2, axis=0, keepdims=True)
+        acc = (acc - u) / jnp.sqrt(s + 1e-8)
+        acc = acc * nw_ref[...].astype(jnp.float32).T + \
+            nb_ref[...].astype(jnp.float32).T
+
+    h = jnp.dot(w1_ref[...].astype(jnp.float32).T, acc,
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32).T
+
+    if has_snake:
+        a = alpha_ref[...].astype(jnp.float32).T
+        h = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
+    else:
+        h = _math.gelu_exact(h)
+
+    h = gamma_ref[...].astype(jnp.float32).T * h + \
+        beta_ref[...].astype(jnp.float32).T + h
+
+    y = jnp.dot(w2_ref[...].astype(jnp.float32).T, h,
+                preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32).T
+    o_ref[0] = (xpad[:, halo:halo + S] + y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "dilation",
+                                             "interpret"))
+def conv_unit_t(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
+                dilation: int = 1, interpret: bool = False) -> jnp.ndarray:
+    """Fused residual ConvUnit, transposed layout (for C < 96)."""
+    B, T, C = x.shape
+    has_norm = "norm" in p
+    has_snake = "alpha" in p
+    halo = (kernel_size - 1) * dilation // 2
+    S = 2048
+    pad = (-T) % S
+    xt = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    NT = (T + pad) // S
+    xf = xt.reshape(B, NT, S, C).transpose(0, 1, 3, 2).reshape(B * NT, C, S)
+
+    dww = p["dw"]["w"].reshape(kernel_size, C)
+    row = lambda v: v.reshape(1, -1)
+    args = [
+        xf, xf, xf, dww, row(p["dw"]["b"]),
+        row(p["norm"]["w"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
+        row(p["norm"]["b"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
+        p["pw1"]["w"], row(p["pw1"]["b"]),
+        row(p["alpha"]) if has_snake else row(jnp.zeros((4 * C,), x.dtype)),
+        row(p["grn"]["gamma"]), row(p["grn"]["beta"]),
+        p["pw2"]["w"], row(p["pw2"]["b"]),
+    ]
+
+    def cur_map(b, t):
+        return (b * NT + t, 0, 0)
+
+    def prev_map(b, t):
+        return (b * NT + jnp.maximum(t - 1, 0), 0, 0)
+
+    def next_map(b, t):
+        return (b * NT + jnp.minimum(t + 1, NT - 1), 0, 0)
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    xspec = lambda imap: pl.BlockSpec((1, C, S), imap, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel_t, halo=halo, kernel_size=kernel_size, dilation=dilation,
+        has_norm=has_norm, has_snake=has_snake, n_tiles=NT)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, NT),
+        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
+                 [full(a) for a in args[3:]],
+        out_specs=xspec(cur_map),
+        out_shape=jax.ShapeDtypeStruct((B * NT, C, S), x.dtype),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(B, NT, C, S).transpose(0, 1, 3, 2).reshape(B, T + pad, C)
+    return out[:, :T] if pad else out
 
 
 def _tile_size(C: int) -> int:

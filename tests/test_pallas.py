@@ -66,6 +66,20 @@ def test_pallas_legacy_tail_matches_reference():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("B,T", [(2, 5000), (2, 300)])
+def test_pallas_first_block_matches_reference(B, T):
+    from l3ac_tpu.models.tconv import init_first_block, first_block_apply
+    from l3ac_tpu.ops.pallas.first_block import first_block
+    p = init_first_block(jax.random.PRNGKey(0), 24)
+    x = jnp.asarray(RNG.standard_normal((B, T, 1)).astype(np.float32))
+    want = first_block_apply(p, x)
+    got = first_block(x, p, interpret=True)
+    # sequential (vs tree) summation in the 45-tap average pool costs ~1e-4;
+    # well inside bf16 inference tolerance
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_pallas_local_attention_with_bias():
     B, H, T, D, n = 1, 6, 48, 32, 16
     q = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
