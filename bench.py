@@ -43,25 +43,36 @@ def main():
     T = int(args.seconds * sr) // mc.hop_length * mc.hop_length
     audio = jax.random.normal(jax.random.PRNGKey(1), (args.batch, T), dtype) * 0.3
 
-    @jax.jit
-    def roundtrip(params, audio):
-        q, idx = fcodec.encode(params, audio, mc)
-        return fcodec.decode(params, q, mc), idx
+    # Two-point scan-chained measurement: the TPU tunnel elides repeated
+    # identical dispatches and block_until_ready does not force remote
+    # completion, so chain the roundtrip inside one jit (iteration n+1's
+    # input depends on iteration n's output), read back a scalar, and take
+    # the slope between two chain lengths to cancel the fixed host-sync cost.
+    import functools
 
-    # warmup / compile
-    out, idx = roundtrip(params, audio)
-    jax.block_until_ready(out)
-    for _ in range(args.warmup):
-        out, idx = roundtrip(params, audio)
-    jax.block_until_ready(out)
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(params, audio, iters):
+        def step(c, _):
+            q, idx = fcodec.encode(params, c, mc)
+            out = fcodec.decode(params, q, mc)
+            dep = (jnp.sum(out[:1, :8].astype(jnp.float32)) * 1e-20
+                   ).astype(c.dtype)
+            return c + dep, ()
+        y, _ = jax.lax.scan(step, audio, None, length=iters)
+        return jnp.sum(jnp.abs(y).astype(jnp.float32))
 
+    k1 = max(1, args.iters // 4)
+    k2 = args.iters
+    float(run(params, audio, iters=k1))  # compile + warm
+    float(run(params, audio, iters=k2))
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out, idx = roundtrip(params, audio)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    float(run(params, audio, iters=k1))
+    t1 = time.perf_counter()
+    float(run(params, audio, iters=k2))
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
 
-    audio_seconds = args.iters * args.batch * (T / sr)
+    audio_seconds = args.batch * (T / sr)
     rtf = audio_seconds / dt
     print(json.dumps({
         "metric": f"rtf_encode_decode_{args.model}",

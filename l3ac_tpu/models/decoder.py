@@ -18,12 +18,20 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops import conv1d, channel_norm, snake, upsample_linear
+from ..ops import transposed as tx
 from ..utils import init as pinit
 from .layers import (init_conv_unit, residual_conv_unit_apply,
-                     init_legacy_unit, residual_legacy_unit_apply)
-from .tconv import init_enhance_block, enhance_block_apply
+                     residual_conv_unit_apply_t, init_legacy_unit,
+                     residual_legacy_unit_apply, legacy_unit_apply_t)
+from .tconv import (init_enhance_block, enhance_block_apply,
+                    enhance_block_apply_t)
 
 TAIL_DILATIONS = (1, 3, 9)
+
+# Stages whose working dim is at or below this run in transposed (B, C, T)
+# layout: time in lanes instead of 24-96 channels padded to 128 lanes (>5x
+# wasted HBM traffic at the near-audio-rate sequence lengths).
+NARROW_MAX_C = 96
 
 
 def init_decoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
@@ -69,32 +77,56 @@ def init_decoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
 
 
 def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
-    """x: (B, T', feature_dim) -> (B, T' * prod(decode_rates), 1)."""
+    """x: (B, T', feature_dim) -> (B, T' * prod(decode_rates), 1).
+
+    Wide stages run channels-last; once the working dim drops to
+    ``NARROW_MAX_C`` the activation flips to (B, C, T) ONCE and every
+    remaining op (units, enhance gate, up path, tail) runs lane-packed in
+    that layout.
+    """
+    from ..ops import pallas as pk
     h = conv1d(x, p["in_conv"]["w"], p["in_conv"]["b"], padding=1)
-    for stage, stride in zip(p["stages"], mc.decode_rates):
-        for unit in stage["units"]:
-            h = residual_conv_unit_apply(unit, h)
-        h = enhance_block_apply(stage["enhance"], h)
-        h = conv1d(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
-        h = upsample_linear(h, stride)
-        if "up_norm" in stage:
-            h = channel_norm(h, stage["up_norm"]["w"], stage["up_norm"]["b"])
+    in_t = False
+    for stage, stride, i_d in zip(p["stages"], mc.decode_rates,
+                                  mc.decoder_dims[:-1]):
+        if not in_t and i_d <= NARROW_MAX_C:
+            h = tx.to_t(h)
+            in_t = True
+        if in_t:
+            for unit in stage["units"]:
+                h = residual_conv_unit_apply_t(unit, h)
+            h = enhance_block_apply_t(stage["enhance"], h)
+            h = tx.conv1x1_t(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
+            h = tx.upsample_linear_t(h, stride)
+            if "up_norm" in stage:
+                h = tx.channel_norm_t(h, stage["up_norm"]["w"],
+                                      stage["up_norm"]["b"])
+        else:
+            for unit in stage["units"]:
+                h = residual_conv_unit_apply(unit, h)
+            h = enhance_block_apply(stage["enhance"], h)
+            h = conv1d(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
+            h = upsample_linear(h, stride)
+            if "up_norm" in stage:
+                h = channel_norm(h, stage["up_norm"]["w"], stage["up_norm"]["b"])
+
+    if not in_t:  # tiny/debug geometries that never narrow
+        h = tx.to_t(h)
 
     if mc.decoder_last_layer == "legacy":
-        from ..ops import pallas as pk
         if pk.enabled():
             # whole tail (3 legacy units + snake + out conv + tanh) fused
-            return pk.legacy_tail.legacy_tail(h, p["tail_units"],
-                                              p["tail_alpha"], p["out_conv"])
+            return pk.legacy_tail.legacy_tail_ct(h, p["tail_units"],
+                                                 p["tail_alpha"], p["out_conv"])
         for unit, d in zip(p["tail_units"], TAIL_DILATIONS):
-            h = residual_legacy_unit_apply(unit, h, dilation=d)
+            h = h + legacy_unit_apply_t(unit, h, dilation=d)
     elif mc.decoder_last_layer == "dilation":
         for unit, d in zip(p["tail_units"], TAIL_DILATIONS):
-            h = residual_conv_unit_apply(unit, h, dilation=d)
+            h = residual_conv_unit_apply_t(unit, h, dilation=d)
     else:
         for unit in p["tail_units"]:
-            h = residual_conv_unit_apply(unit, h)
+            h = residual_conv_unit_apply_t(unit, h)
 
-    h = snake(h, p["tail_alpha"])
-    h = conv1d(h, p["out_conv"]["w"], p["out_conv"]["b"], padding=3)
-    return jnp.tanh(h)
+    h = tx.snake_t(h, p["tail_alpha"])
+    h = tx.conv1d_t(h, p["out_conv"]["w"], p["out_conv"]["b"], padding=3)
+    return jnp.tanh(h).reshape(h.shape[0], h.shape[2], 1)

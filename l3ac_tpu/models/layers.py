@@ -59,6 +59,41 @@ def residual_conv_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
     return x + conv_unit_apply(p, x, **kw)
 
 
+def _dense_w(p: dict, dtype) -> jnp.ndarray:
+    """Dense weight from a param dict, transparently dequantizing int8
+    weight-only leaves ({"w_q", "w_scale"}) produced by ops.quantized."""
+    if "w_q" in p:
+        return p["w_q"].astype(dtype) * p["w_scale"].astype(dtype)
+    return p["w"]
+
+
+def conv_unit_apply_t(p: dict, x: jnp.ndarray, *, dilation: int = 1,
+                      kernel_size: int = 7) -> jnp.ndarray:
+    """ConvUnit body on transposed (B, C, T) activations — exact math of
+    :func:`conv_unit_apply` for the narrow-channel (lane-packed) layout."""
+    from ..ops import transposed as tx
+    dim = x.shape[1]
+    pad = (kernel_size - 1) * dilation // 2
+    y = tx.conv1d_t(x, p["dw"]["w"], p["dw"]["b"], padding=pad,
+                    dilation=dilation, groups=dim)
+    if "norm" in p:
+        y = tx.channel_norm_t(y, p["norm"]["w"], p["norm"]["b"])
+    w1 = _dense_w(p["pw1"], x.dtype)
+    y = tx.conv1x1_t(y, w1.reshape(1, *w1.shape), p["pw1"]["b"])
+    y = tx.snake_t(y, p["alpha"]) if "alpha" in p else gelu(y)
+    y = tx.grn_t(y, p["grn"]["gamma"], p["grn"]["beta"])
+    w2 = _dense_w(p["pw2"], x.dtype)
+    y = tx.conv1x1_t(y, w2.reshape(1, *w2.shape), p["pw2"]["b"])
+    return y
+
+
+def residual_conv_unit_apply_t(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
+    from ..ops import pallas as pk
+    if pk.enabled() and "w" in p["pw1"]:
+        return pk.conv_unit.conv_unit_ct(x, p, **kw)
+    return x + conv_unit_apply_t(p, x, **kw)
+
+
 def init_legacy_unit(key, dim: int, *, dilation: int = 1, kernel_size: int = 7,
                      dtype=jnp.float32) -> dict:
     k1, k2 = jax.random.split(key)
@@ -84,3 +119,16 @@ def legacy_unit_apply(p: dict, x: jnp.ndarray, *, dilation: int = 1,
 
 def residual_legacy_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
     return x + legacy_unit_apply(p, x, **kw)
+
+
+def legacy_unit_apply_t(p: dict, x: jnp.ndarray, *, dilation: int = 1,
+                        kernel_size: int = 7) -> jnp.ndarray:
+    """LegacyUnit on transposed (B, C, T) activations."""
+    from ..ops import transposed as tx
+    pad = (kernel_size - 1) * dilation // 2
+    y = tx.snake_t(x, p["alpha1"])
+    y = tx.conv1d_t(y, p["conv1"]["w"], p["conv1"]["b"], padding=pad,
+                    dilation=dilation)
+    y = tx.snake_t(y, p["alpha2"])
+    y = tx.conv1x1_t(y, p["conv2"]["w"], p["conv2"]["b"])
+    return y

@@ -93,10 +93,64 @@ def init_enhance_block(key, dim: int, dtype=jnp.float32) -> dict:
 
 
 def enhance_block_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, T, C) -> (B, T, C); gate computed from channel 0 only."""
+    """x: (B, T, C) -> (B, T, C); gate computed from channel 0 only.
+
+    Convs written as shifted FMAs / broadcasts (not ``lax.conv``): the gate
+    pipeline has 1-4 channels, where conv lowering wastes nearly every lane.
+    """
+    from ..ops import trend_pool
     xi = x[..., :1]
-    y = base_block_apply(p["base"], xi, ENHANCE_CONVS, ENHANCE_POOLS,
-                         ENHANCE_DILATION_RATE)
+    T = x.shape[1]
+    metas = _branch_meta(ENHANCE_CONVS, ENHANCE_POOLS, ENHANCE_DILATION_RATE)
+    outs = []
+    for bp, m in zip(p["base"]["branches"], metas):
+        h = trend_pool(xi, m["pool_k"])
+        d, pad = m["dilation"], m["padding"]
+        hp = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+        w = bp["w"]  # (7, 1, 1)
+        acc = bp["b"][0] + w[0, 0, 0] * hp[:, :T, :]
+        for k in range(1, w.shape[0]):
+            acc = acc + w[k, 0, 0] * hp[:, k * d:k * d + T, :]
+        outs.append(acc)
+    y = jnp.concatenate(outs, axis=-1)                        # (B, T, 4)
     y = instance_norm(y, p["in_norm"]["w"], p["in_norm"]["b"])
-    y = conv1d(y, p["merge"]["w"], p["merge"]["b"])
-    return x + y * x
+    # merge 1x1 conv (4 -> C) as 4 broadcast FMAs; gate applied as x * (1 + g)
+    wm = p["merge"]["w"][0]                                   # (4, C)
+    g = p["merge"]["b"] + y[..., 0:1] * wm[0]
+    for f in range(1, wm.shape[0]):
+        g = g + y[..., f:f + 1] * wm[f]
+    return x * (1.0 + g)
+
+
+def enhance_block_apply_t(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """EnhanceBlock on transposed (B, C, T) activations: the channel-0 gather is
+    a sublane row, the 4-channel gate pipeline runs lane-packed.
+
+    Every conv here is written as shifted fused-multiply-adds / broadcasts
+    rather than ``lax.conv``/``einsum``: XLA lowers both badly when the
+    contraction is over 1-4 sublane channels (measured ~100x slower than the
+    FMA form at decoder stage-3 shapes).
+    """
+    from ..ops import transposed as tx
+    xi = x[:, :1, :]
+    T = x.shape[2]
+    metas = _branch_meta(ENHANCE_CONVS, ENHANCE_POOLS, ENHANCE_DILATION_RATE)
+    outs = []
+    for bp, m in zip(p["base"]["branches"], metas):
+        h = tx.trend_pool_t(xi, m["pool_k"])
+        # conv 1 -> 1, k=7, dilated: 7 shifted FMAs on the (B, 1, T) row
+        d, pad = m["dilation"], m["padding"]
+        hp = jnp.pad(h, ((0, 0), (0, 0), (pad, pad)))
+        w = bp["w"]  # (7, 1, 1)
+        acc = bp["b"][0] + w[0, 0, 0] * hp[:, :, :T]
+        for k in range(1, w.shape[0]):
+            acc = acc + w[k, 0, 0] * hp[:, :, k * d:k * d + T]
+        outs.append(acc)
+    y = jnp.concatenate(outs, axis=1)                        # (B, 4, T)
+    y = tx.instance_norm_t(y, p["in_norm"]["w"], p["in_norm"]["b"])
+    # merge 1x1 conv (4 -> C) as 4 broadcast FMAs; gate applied as x * (1 + g)
+    wm = p["merge"]["w"][0]                                  # (4, C)
+    g = p["merge"]["b"][:, None] + wm[0][:, None] * y[:, 0:1, :]
+    for f in range(1, wm.shape[0]):
+        g = g + wm[f][:, None] * y[:, f:f + 1, :]
+    return x * (1.0 + g)

@@ -79,16 +79,20 @@ def _kernel(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
 
 
 def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
-              w1_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2_ref, b2_ref,
+              w1t_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2t_ref, b2_ref,
               o_ref, *, halo: int, kernel_size: int, dilation: int,
               has_norm: bool, has_snake: bool, n_tiles: int):
     """Transposed (C, T) variant for narrow channel counts: time in lanes,
     channels in sublanes; dw conv = shifted FMAs, norm = sublane reduction,
-    pointwise convs = narrow-M matmuls (same rationale as legacy_tail)."""
+    pointwise convs = narrow-M matmuls (same rationale as legacy_tail).
+
+    Weights arrive pre-transposed ((Cout, Cin)) and vectors pre-shaped as
+    columns ((C, 1)) so no relayout happens inside the grid step; matmuls run
+    in the parameter dtype (bf16 in production) with fp32 accumulation.
+    """
     t = pl.program_id(1)
     C = xc_ref.shape[1]
     S = xc_ref.shape[2]
-    R = S + 2 * halo
 
     prev = xp_ref[0, :, S - halo:]
     nxt = xn_ref[0, :, :halo]
@@ -96,73 +100,79 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
     xpad = jnp.concatenate([prev, xc_ref[0], nxt], axis=1).astype(jnp.float32)
 
-    acc = jnp.broadcast_to(dwb_ref[...].astype(jnp.float32).T, (C, S))
+    acc = jnp.broadcast_to(dwb_ref[...].astype(jnp.float32), (C, S))
     for k in range(kernel_size):
         off = k * dilation
         acc = acc + xpad[:, off:off + S] * \
-            dww_ref[k].astype(jnp.float32)[:, None]
+            dww_ref[:, k:k + 1].astype(jnp.float32)
 
     if has_norm:
         u = jnp.mean(acc, axis=0, keepdims=True)
         s = jnp.mean((acc - u) ** 2, axis=0, keepdims=True)
         acc = (acc - u) / jnp.sqrt(s + 1e-8)
-        acc = acc * nw_ref[...].astype(jnp.float32).T + \
-            nb_ref[...].astype(jnp.float32).T
+        acc = acc * nw_ref[...].astype(jnp.float32) + \
+            nb_ref[...].astype(jnp.float32)
 
-    h = jnp.dot(w1_ref[...].astype(jnp.float32).T, acc,
+    h = jnp.dot(w1t_ref[...], acc.astype(w1t_ref.dtype),
                 preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32).T
+    h = h + b1_ref[...].astype(jnp.float32)
 
     if has_snake:
-        a = alpha_ref[...].astype(jnp.float32).T
+        a = alpha_ref[...].astype(jnp.float32)
         h = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
     else:
         h = _math.gelu_exact(h)
 
-    h = gamma_ref[...].astype(jnp.float32).T * h + \
-        beta_ref[...].astype(jnp.float32).T + h
+    h = gamma_ref[...].astype(jnp.float32) * h + \
+        beta_ref[...].astype(jnp.float32) + h
 
-    y = jnp.dot(w2_ref[...].astype(jnp.float32).T, h,
+    y = jnp.dot(w2t_ref[...], h.astype(w2t_ref.dtype),
                 preferred_element_type=jnp.float32)
-    y = y + b2_ref[...].astype(jnp.float32).T
+    y = y + b2_ref[...].astype(jnp.float32)
     o_ref[0] = (xpad[:, halo:halo + S] + y).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilation",
                                              "interpret"))
-def conv_unit_t(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
-                dilation: int = 1, interpret: bool = False) -> jnp.ndarray:
-    """Fused residual ConvUnit, transposed layout (for C < 96)."""
-    B, T, C = x.shape
+def conv_unit_ct(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
+                 dilation: int = 1, interpret: bool = False) -> jnp.ndarray:
+    """Fused residual ConvUnit on transposed (B, C, T) activations — the
+    narrow-channel layout. Blocks are sliced straight out of the (B, C, T)
+    array by index maps: no flatten/relayout on either side, so chained
+    narrow-section ops stay lane-packed end to end."""
+    B, C, T = x.shape
     has_norm = "norm" in p
     has_snake = "alpha" in p
     halo = (kernel_size - 1) * dilation // 2
-    S = 2048
+    # keep the (4C, S) fp32 intermediate ~3 MiB (VMEM scoped limit is 16 MiB
+    # shared with double-buffered I/O blocks and both weight matrices); narrow
+    # channels take long tiles — fewer grid steps amortize per-step overhead
+    S = max(256, min(6144, ((2 << 20) // (16 * C)) // 256 * 256))
     pad = (-T) % S
-    xt = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    xt = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
     NT = (T + pad) // S
-    xf = xt.reshape(B, NT, S, C).transpose(0, 1, 3, 2).reshape(B * NT, C, S)
+    assert halo <= S
 
-    dww = p["dw"]["w"].reshape(kernel_size, C)
-    row = lambda v: v.reshape(1, -1)
+    dww = p["dw"]["w"].reshape(kernel_size, C).T            # (C, K)
+    col = lambda v: v.reshape(-1, 1)
     args = [
-        xf, xf, xf, dww, row(p["dw"]["b"]),
-        row(p["norm"]["w"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
-        row(p["norm"]["b"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
-        p["pw1"]["w"], row(p["pw1"]["b"]),
-        row(p["alpha"]) if has_snake else row(jnp.zeros((4 * C,), x.dtype)),
-        row(p["grn"]["gamma"]), row(p["grn"]["beta"]),
-        p["pw2"]["w"], row(p["pw2"]["b"]),
+        xt, xt, xt, dww, col(p["dw"]["b"]),
+        col(p["norm"]["w"]) if has_norm else col(jnp.zeros((C,), x.dtype)),
+        col(p["norm"]["b"]) if has_norm else col(jnp.zeros((C,), x.dtype)),
+        p["pw1"]["w"].T, col(p["pw1"]["b"]),
+        col(p["alpha"]) if has_snake else col(jnp.zeros((4 * C,), x.dtype)),
+        col(p["grn"]["gamma"]), col(p["grn"]["beta"]),
+        p["pw2"]["w"].T, col(p["pw2"]["b"]),
     ]
 
     def cur_map(b, t):
-        return (b * NT + t, 0, 0)
+        return (b, 0, t)
 
     def prev_map(b, t):
-        return (b * NT + jnp.maximum(t - 1, 0), 0, 0)
+        return (b, 0, jnp.maximum(t - 1, 0))
 
     def next_map(b, t):
-        return (b * NT + jnp.minimum(t + 1, NT - 1), 0, 0)
+        return (b, 0, jnp.minimum(t + 1, NT - 1))
 
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
@@ -177,11 +187,22 @@ def conv_unit_t(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
         in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
                  [full(a) for a in args[3:]],
         out_specs=xspec(cur_map),
-        out_shape=jax.ShapeDtypeStruct((B * NT, C, S), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, T + pad), x.dtype),
         interpret=interpret,
     )(*args)
-    out = out.reshape(B, NT, C, S).transpose(0, 1, 3, 2).reshape(B, T + pad, C)
-    return out[:, :T] if pad else out
+    return out[:, :, :T] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "dilation",
+                                             "interpret"))
+def conv_unit_t(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
+                dilation: int = 1, interpret: bool = False) -> jnp.ndarray:
+    """Fused residual ConvUnit for natural (B, T, C) input with narrow C:
+    transpose, run :func:`conv_unit_ct`, transpose back. Callers that already
+    hold (B, C, T) activations should call ``conv_unit_ct`` directly."""
+    out = conv_unit_ct(x.transpose(0, 2, 1), p, kernel_size=kernel_size,
+                       dilation=dilation, interpret=interpret)
+    return out.transpose(0, 2, 1)
 
 
 def _tile_size(C: int) -> int:

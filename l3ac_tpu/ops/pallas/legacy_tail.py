@@ -36,20 +36,21 @@ def _snake(x, a):
     return x + jnp.sin(a * x) ** 2 / (a + 1e-8)
 
 
-def _conv_lanes(x, w, b, dilation, R):
+def _conv_lanes(x, wt, b, dilation, R):
     """Conv along lanes. x: (C, Rp) f32 already zero-padded by (K-1)*dil//2 on
-    each side; w: (K, C, Cout); returns (Cout, R)."""
-    K = w.shape[0]
-    acc = jnp.broadcast_to(b[:, None], (w.shape[2], R)).astype(jnp.float32)
+    each side; wt: (K, Cout, Cin) pre-transposed; b: (Cout, 1) f32. Matmuls run
+    in the weight dtype (bf16 in production) with fp32 accumulation."""
+    K = wt.shape[0]
+    acc = jnp.broadcast_to(b, (wt.shape[1], R)).astype(jnp.float32)
+    xw = x.astype(wt.dtype)
     for k in range(K):
-        acc = acc + jnp.dot(w[k].astype(jnp.float32).T,
-                            x[:, k * dilation:k * dilation + R],
+        acc = acc + jnp.dot(wt[k], xw[:, k * dilation:k * dilation + R],
                             preferred_element_type=jnp.float32)
     return acc
 
 
-def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1_ref, b1_ref, a2_ref, w2_ref,
-            b2_ref, ao_ref, wo_ref, bo_ref, o_ref, *, n_tiles: int,
+def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1t_ref, b1_ref, a2_ref, w2t_ref,
+            b2_ref, ao_ref, wot_ref, bo_ref, o_ref, *, n_tiles: int,
             total_cols: int):
     t = pl.program_id(1)
     C = xc_ref.shape[1]
@@ -67,60 +68,61 @@ def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1_ref, b1_ref, a2_ref, w2_ref,
     x = jnp.where(valid, x, 0.0)
 
     for u, d in enumerate(DILATIONS):
-        h = _snake(x, a1_ref[u].astype(jnp.float32)[:, None])
+        h = _snake(x, a1_ref[u].astype(jnp.float32))
         pad = 3 * d
         hp = jnp.pad(h, ((0, 0), (pad, pad)))
-        h = _conv_lanes(hp, w1_ref[u], b1_ref[u].astype(jnp.float32), d, R)
+        h = _conv_lanes(hp, w1t_ref[u], b1_ref[u].astype(jnp.float32), d, R)
         h = jnp.where(valid, h, 0.0)
-        h = _snake(h, a2_ref[u].astype(jnp.float32)[:, None])
-        h = jnp.dot(w2_ref[u].astype(jnp.float32).T, h,
+        h = _snake(h, a2_ref[u].astype(jnp.float32))
+        h = jnp.dot(w2t_ref[u], h.astype(w2t_ref.dtype),
                     preferred_element_type=jnp.float32) + \
-            b2_ref[u].astype(jnp.float32)[:, None]
+            b2_ref[u].astype(jnp.float32)
         x = jnp.where(valid, x + h, 0.0)
 
-    h = _snake(x, ao_ref[0].astype(jnp.float32)[:, None])
+    h = _snake(x, ao_ref[0].astype(jnp.float32))
     hp = jnp.pad(h, ((0, 0), (3, 3)))
-    y = _conv_lanes(hp, wo_ref[...], bo_ref[0].astype(jnp.float32), 1, R)
+    y = _conv_lanes(hp, wot_ref[...], bo_ref[...].astype(jnp.float32), 1, R)
     o_ref[0] = jnp.tanh(y[:, HALO:HALO + S]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def legacy_tail(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
-                interpret: bool = False) -> jnp.ndarray:
-    """x: (B, T, C=24) -> (B, T, 1). ``tail_units``: the decoder's 3 legacy
-    unit param dicts; ``out_conv``: k=7 C->1 conv params."""
-    B, T, C = x.shape
+def legacy_tail_ct(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Transposed input: x (B, C=24, T) -> audio (B, T, 1). Blocks are sliced
+    straight out of (B, C, T) by index maps — no relayout, so the tail chains
+    onto the transposed narrow decoder section for free."""
+    B, C, T = x.shape
     S = 2048
     pad = (-T) % S
-    xt = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    xf = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
     NT = (T + pad) // S
-    # transposed layout: channels in sublanes, time in lanes
-    xf = xt.transpose(0, 2, 1).reshape(B, C, NT, S).transpose(0, 2, 1, 3) \
-        .reshape(B * NT, C, S)
 
-    a1 = jnp.stack([u["alpha1"] for u in tail_units])            # (3, C)
-    w1 = jnp.stack([u["conv1"]["w"] for u in tail_units])        # (3, 7, C, C)
-    b1 = jnp.stack([u["conv1"]["b"] for u in tail_units])        # (3, C)
-    a2 = jnp.stack([u["alpha2"] for u in tail_units])
-    w2 = jnp.stack([u["conv2"]["w"][0] for u in tail_units])     # (3, C, C)
-    b2 = jnp.stack([u["conv2"]["b"] for u in tail_units])
-    ao = tail_alpha.reshape(1, -1)
-    wo = out_conv["w"]                                           # (7, C, 1)
-    bo = out_conv["b"].reshape(1, -1)
+    # weights pre-transposed to (..., Cout, Cin); vectors pre-shaped as
+    # columns (C, 1) — no relayout inside the grid step
+    a1 = jnp.stack([u["alpha1"] for u in tail_units])[..., None]  # (3, C, 1)
+    w1t = jnp.stack([u["conv1"]["w"] for u in tail_units]) \
+        .transpose(0, 1, 3, 2)                                    # (3, 7, C, C)
+    b1 = jnp.stack([u["conv1"]["b"] for u in tail_units])[..., None]
+    a2 = jnp.stack([u["alpha2"] for u in tail_units])[..., None]
+    w2t = jnp.stack([u["conv2"]["w"][0].T for u in tail_units])   # (3, C, C)
+    b2 = jnp.stack([u["conv2"]["b"] for u in tail_units])[..., None]
+    ao = tail_alpha.reshape(1, -1, 1)
+    wot = out_conv["w"].transpose(0, 2, 1)                        # (7, 1, C)
+    bo = out_conv["b"].reshape(1, 1)
 
     def cur_map(b, t):
-        return (b * NT + t, 0, 0)
+        return (b, 0, t)
 
     def prev_map(b, t):
-        return (b * NT + jnp.maximum(t - 1, 0), 0, 0)
+        return (b, 0, jnp.maximum(t - 1, 0))
 
     def next_map(b, t):
-        return (b * NT + jnp.minimum(t + 1, NT - 1), 0, 0)
+        return (b, 0, jnp.minimum(t + 1, NT - 1))
 
     xspec = lambda imap: pl.BlockSpec((1, C, S), imap, memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
-    consts = [a1, w1, b1, a2, w2, b2, ao, wo, bo]
+    consts = [a1, w1t, b1, a2, w2t, b2, ao, wot, bo]
 
     kernel = functools.partial(_kernel, n_tiles=NT, total_cols=T)
     out = pl.pallas_call(
@@ -129,8 +131,17 @@ def legacy_tail(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
         in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
                  [full(a) for a in consts],
         out_specs=pl.BlockSpec((1, 1, S), cur_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * NT, 1, S), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 1, T + pad), x.dtype),
         interpret=interpret,
     )(xf, xf, xf, *consts)
-    out = out.reshape(B, NT * S, 1)
+    out = out.reshape(B, T + pad, 1)
     return out[:, :T] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def legacy_tail(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
+                interpret: bool = False) -> jnp.ndarray:
+    """Natural input: x (B, T, C=24) -> (B, T, 1). ``tail_units``: the decoder's
+    3 legacy unit param dicts; ``out_conv``: k=7 C->1 conv params."""
+    return legacy_tail_ct(x.transpose(0, 2, 1), tail_units, tail_alpha,
+                          out_conv, interpret=interpret)

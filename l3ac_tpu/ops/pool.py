@@ -12,23 +12,33 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _pool(x: jnp.ndarray, k: int, init, op, pad_value) -> jnp.ndarray:
-    # x: (B, T, C); window over T with stride 1, symmetric pad k//2.
+def _pool(x: jnp.ndarray, k: int, op, pad_value, axis: int) -> jnp.ndarray:
+    """Stride-1 window reduction over ``axis`` with symmetric pad k//2.
+
+    Implemented as k shifted slices combined with ``op`` — NOT
+    ``lax.reduce_window``, which lowers to a pathologically slow loop on TPU
+    (measured 3.4 ms for a 1.2 MB operand vs ~0.1 ms for the shifted form).
+    The pool kernels here are small (<= 45), so k slices is cheap and fuses.
+    """
     pad = k // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), constant_values=pad_value)
-    return lax.reduce_window(
-        xp, init, op,
-        window_dimensions=(1, k, 1),
-        window_strides=(1, 1, 1),
-        padding="VALID",
-    )
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (pad, pad)
+    xp = jnp.pad(x, pads, constant_values=pad_value)
+    T = x.shape[axis]
+    out = None
+    for j in range(k):
+        piece = lax.slice_in_dim(xp, j, j + T, axis=axis)
+        out = piece if out is None else op(out, piece)
+    return out
 
 
-def trend_pool(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
-    """x: (B, T, C) -> (B, T, C). Identity when kernel_size <= 1."""
+def trend_pool(x: jnp.ndarray, kernel_size: int, axis: int = 1) -> jnp.ndarray:
+    """avg_pool(max_pool(|x|, k), k) over ``axis`` (time). Identity when
+    kernel_size <= 1. Default axis=1 serves (B, T, C); pass axis=2 for the
+    transposed (B, C, T) layout."""
     if kernel_size <= 1:
         return x
     k = kernel_size
-    m = _pool(jnp.abs(x), k, -jnp.inf, lax.max, -jnp.inf)
-    s = _pool(m, k, 0.0, lax.add, 0.0)
+    m = _pool(jnp.abs(x), k, jnp.maximum, -jnp.inf, axis)
+    s = _pool(m, k, jnp.add, 0.0, axis)
     return s / k

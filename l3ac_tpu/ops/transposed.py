@@ -1,0 +1,119 @@
+"""Transposed-layout ``(B, C, T)`` ops for narrow-channel sections.
+
+Why this layout exists: XLA maps the minor axis onto the TPU's 128-wide lanes.
+The codec's outer conv stages run at (near-)audio rate with only 24-48
+channels (reference ``l3ac/modules.py:71-201`` geometry), so channels-last
+activations pad 24 -> 128 lanes — >5x wasted HBM traffic and VPU width on the
+longest sequences in the model. Putting *time* in lanes and channels in
+sublanes packs every vector full. These are the pure-jnp forms; the Pallas
+kernels in ``ops/pallas`` consume/produce the same layout so whole narrow
+sections run without a single relayout.
+
+Every op here is the exact math of its channels-last sibling in
+``l3ac_tpu.ops`` (same reduction axes relative to semantics, same eps), just
+on transposed operands.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from .norms import EPS
+
+
+def to_t(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, C) -> (B, C, T)."""
+    return x.transpose(0, 2, 1)
+
+
+def from_t(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, T) -> (B, T, C)."""
+    return x.transpose(0, 2, 1)
+
+
+def conv1d_t(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None, *,
+             stride: int = 1, padding: int = 0, dilation: int = 1,
+             groups: int = 1) -> jnp.ndarray:
+    """General 1-D conv on (B, C, T). w: (K, Cin//groups, Cout) — same weight
+    layout as :func:`l3ac_tpu.ops.conv1d`."""
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NCW", "WIO", "NCW"))
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=dn,
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b[:, None]
+    return y
+
+
+def conv1x1_t(x: jnp.ndarray, w: jnp.ndarray,
+              b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Pointwise conv on (B, C, T): per batch a (Cout, Cin) @ (Cin, T) matmul.
+    w: (1, Cin, Cout) or (Cin, Cout)."""
+    wm = w[0] if w.ndim == 3 else w
+    y = jnp.einsum("co,bct->bot", wm, x, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b[:, None]
+    return y
+
+
+def channel_norm_t(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                   eps: float = EPS) -> jnp.ndarray:
+    """Normalize over the channel (sublane) axis of (B, C, T)."""
+    u = jnp.mean(x, axis=1, keepdims=True)
+    s = jnp.mean((x - u) ** 2, axis=1, keepdims=True)
+    xn = (x - u) / jnp.sqrt(s + eps)
+    return weight[:, None] * xn + bias[:, None]
+
+
+def instance_norm_t(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                    eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over the time (lane) axis of (B, C, T)."""
+    u = jnp.mean(x, axis=2, keepdims=True)
+    s = jnp.mean((x - u) ** 2, axis=2, keepdims=True)
+    xn = (x - u) / jnp.sqrt(s + eps)
+    return weight[:, None] * xn + bias[:, None]
+
+
+def grn_t(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+          eps: float = EPS) -> jnp.ndarray:
+    """Reference GRN quirk on (B, C, T) — the norm is a per-batch scalar either
+    way (see :func:`l3ac_tpu.ops.grn`)."""
+    g = jnp.sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
+    n = g / (g + eps)
+    return gamma[:, None] * (x * n) + beta[:, None] + x
+
+
+def snake_t(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake activation on (B, C, T) (or (C, T)); alpha: (C,)."""
+    a = alpha[:, None]
+    return x + jnp.sin(a * x) ** 2 / (a + 1e-8)
+
+
+def upsample_linear_t(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Linear-interp upsample on (B, C, T) -> (B, C, T*scale); same phase
+    decomposition as :func:`l3ac_tpu.ops.upsample_linear`."""
+    if scale == 1:
+        return x
+    B, C, T = x.shape
+    x_prev = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+    x_next = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    phases = []
+    for p in range(scale):
+        d = (p + 0.5) / scale - 0.5
+        if d >= 0:
+            phases.append(x * (1.0 - d) + x_next * d)
+        else:
+            w = 1.0 + d
+            phases.append(x_prev * (1.0 - w) + x * w)
+    return jnp.stack(phases, axis=3).reshape(B, C, T * scale)
+
+
+def trend_pool_t(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Trend pool on (B, C, T): avg_pool(max_pool(|x|)), stride 1, torch padding
+    semantics (max pads -inf, avg pads zero and divides by k regardless)."""
+    from .pool import trend_pool
+    return trend_pool(x, kernel_size, axis=2)

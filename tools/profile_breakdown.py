@@ -1,7 +1,15 @@
 """Per-stage timing breakdown on the real TPU: encoder / en_encoder / FSQ /
-en_decoder / decoder, plus the fused roundtrip. Guides kernel work."""
+en_decoder / decoder, plus the fused roundtrip. Guides kernel work.
+
+Timing method: two-point scan-chained (see tools/profile_decoder.timeit) —
+the axon relay elides repeated identical dispatches, block_until_ready does
+not force remote completion, and one host readback costs ~30 ms, so each
+measurement chains K dependent applications inside one jit and takes the
+slope between two K values.
+"""
 
 import argparse
+import functools
 import sys
 import time
 from pathlib import Path
@@ -19,21 +27,32 @@ from l3ac_tpu.models import codec as fcodec
 from l3ac_tpu.models.quantizer import quantizer_apply
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, x, k1=5, k2=45):
+    """Two-point scan-chained timing; fn maps one array to one array (or a
+    tuple whose first element is an array)."""
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(x0, iters):
+        def step(c, _):
+            out = fn(c)
+            if isinstance(out, tuple):
+                out = out[0]
+            dep = (jnp.sum(out[..., :8].astype(jnp.float32)) * 1e-20
+                   ).astype(c.dtype)
+            return c + dep, ()
+        y, _ = jax.lax.scan(step, x0, None, length=iters)
+        return jnp.sum(jnp.abs(y).astype(jnp.float32))
+
+    float(run(x, iters=k1)); float(run(x, iters=k2))
+    t0 = time.perf_counter(); float(run(x, iters=k1)); t1 = time.perf_counter()
+    float(run(x, iters=k2)); t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="1kbps")
     ap.add_argument("--seconds", type=float, default=10.0)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -47,33 +66,32 @@ def main():
     audio = jax.random.normal(jax.random.PRNGKey(1), (args.batch, T), dtype) * 0.3
     audio_sec = args.batch * T / sr
 
-    enc = jax.jit(lambda p, a: fcodec.encoder_apply(p["encoder"], a[..., None], mc))
-    feat = enc(params, audio)
-    een = jax.jit(lambda p, f: fcodec.en_encoder_apply(p["en_encoder"], f, mc))
-    tf = een(params, feat)
-    qnt = jax.jit(lambda p, f: quantizer_apply(p["quantizer"], f, mc.vq))
-    q, idx, _ = qnt(params, tf)
-    ede = jax.jit(lambda p, f: fcodec.en_decoder_apply(p["en_decoder"], f, mc))
-    qf = ede(params, q)
-    dec = jax.jit(lambda p, f: fcodec.decoder_apply(p["decoder"], f, mc))
-    _ = dec(params, qf)
+    feat = jax.jit(lambda a: fcodec.encoder_apply(params["encoder"],
+                                                  a[..., None], mc))(audio)
+    tf = jax.jit(lambda f: fcodec.en_encoder_apply(params["en_encoder"], f, mc))(feat)
+    q = jax.jit(lambda f: quantizer_apply(params["quantizer"], f, mc.vq))(tf)[0]
+    qf = jax.jit(lambda x: fcodec.en_decoder_apply(params["en_decoder"], x, mc))(q)
 
-    stages = {
-        "encoder": lambda: enc(params, audio),
-        "en_encoder": lambda: een(params, feat),
-        "quantizer": lambda: qnt(params, tf),
-        "en_decoder": lambda: ede(params, q),
-        "decoder": lambda: dec(params, qf),
-    }
+    stages = [
+        ("encoder", lambda a: fcodec.encoder_apply(params["encoder"],
+                                                   a[..., None], mc), audio),
+        ("en_encoder", lambda f: fcodec.en_encoder_apply(params["en_encoder"],
+                                                         f, mc), feat),
+        ("quantizer", lambda f: quantizer_apply(params["quantizer"], f,
+                                                mc.vq)[0], tf),
+        ("en_decoder", lambda x: fcodec.en_decoder_apply(params["en_decoder"],
+                                                         x, mc), q),
+        ("decoder", lambda f: fcodec.decoder_apply(params["decoder"], f, mc), qf),
+    ]
     total = 0.0
-    for name, fn in stages.items():
-        dt = timeit(fn)
+    for name, fn, x in stages:
+        dt = timeit(fn, x)
         total += dt
         print(f"{name:12s} {dt*1e3:8.2f} ms   rtf={audio_sec/dt:8.1f}")
     print(f"{'sum':12s} {total*1e3:8.2f} ms   rtf={audio_sec/total:8.1f}")
 
-    rt = jax.jit(lambda p, a: fcodec.decode(p, fcodec.encode(p, a, mc)[0], mc))
-    dt = timeit(rt, params, audio)
+    dt = timeit(lambda a: fcodec.decode(params, fcodec.encode(params, a, mc)[0],
+                                        mc)[..., 0], audio)
     print(f"{'roundtrip':12s} {dt*1e3:8.2f} ms   rtf={audio_sec/dt:8.1f}")
 
 
