@@ -14,9 +14,12 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops import conv1d, channel_norm
+from ..ops import transposed as tx
 from ..ops.conv import conv1d_strided_matmul
 from ..utils import init as pinit
-from .layers import init_conv_unit, residual_conv_unit_apply
+from .decoder import NARROW_MAX_C
+from .layers import (init_conv_unit, residual_conv_unit_apply,
+                     residual_conv_unit_apply_t)
 from .tconv import init_first_block, first_block_apply
 
 
@@ -49,19 +52,43 @@ def init_encoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
 
 
 def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
-    """x: (B, T, 1) -> (B, T // conv_hop, feature_dim). T must be a hop multiple."""
+    """x: (B, T, 1) -> (B, T // conv_hop, feature_dim). T must be a hop multiple.
+
+    The stem and narrow stages (dim <= NARROW_MAX_C) run in the transposed
+    (B, C, T) lane-packed layout; the strided downsampling convs run as
+    channels-last reshape+matmuls (MXU), flipping layout at each boundary —
+    the flips happen at successively shorter sequence lengths.
+    """
     from ..ops import pallas as pk
     if pk.enabled():
-        # fused transposed-layout stem (35 -> ~4 ms at B=16/10 s on v5e)
-        h = pk.first_block.first_block(x, p["first"])
+        # fused stem emits the transposed layout directly
+        h = pk.first_block.first_block_ct(x, p["first"])
+        in_t = True
     else:
         h = first_block_apply(p["first"], x)
-    for stage, stride in zip(p["stages"], mc.compress_rates):
-        for unit in stage["units"]:
-            h = residual_conv_unit_apply(unit, h)
+        in_t = False
+    for stage, stride, i_d in zip(p["stages"], mc.compress_rates,
+                                  mc.encoder_dims[:-1]):
+        narrow = i_d <= NARROW_MAX_C
+        if narrow and not in_t:
+            h = tx.to_t(h)
+            in_t = True
+        elif not narrow and in_t:
+            h = tx.from_t(h)
+            in_t = False
+        if in_t:
+            for unit in stage["units"]:
+                h = residual_conv_unit_apply_t(unit, h)
+            h = tx.from_t(h)
+            in_t = False
+        else:
+            for unit in stage["units"]:
+                h = residual_conv_unit_apply(unit, h)
         h = conv1d_strided_matmul(h, stage["down"]["w"], stage["down"]["b"])
         if "down_norm" in stage:
             h = channel_norm(h, stage["down_norm"]["w"], stage["down_norm"]["b"])
+    if in_t:
+        h = tx.from_t(h)
     for unit in p["last_units"]:
         h = residual_conv_unit_apply(unit, h)
     return conv1d(h, p["out_conv"]["w"], p["out_conv"]["b"], padding=1)

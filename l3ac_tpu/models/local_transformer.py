@@ -94,14 +94,21 @@ def _mha_apply(p: dict, x: jnp.ndarray, tc: TransConfig,
     def heads(t):
         return t.reshape(B, T, tc.heads, tc.dim_head).transpose(0, 2, 1, 3)
 
-    # fused Pallas kernel on TPU (1.7x at window 750); jnp reference elsewhere
-    # or when L3AC_TPU_NO_PALLAS is set
+    # fused Pallas kernel on TPU (1.7x at window 750); jnp reference elsewhere,
+    # when L3AC_TPU_NO_PALLAS is set, or on the rotary path (reference's
+    # use_rotary_pos_emb — active only when dynamic position bias is off,
+    # which no released config does; l3ac/local_trans.py:29)
+    rotary = not tc.dynamic_pos
     use_pallas = (jax.default_backend() not in ("cpu",)
-                  and not os.environ.get("L3AC_TPU_NO_PALLAS"))
-    attn_fn = (pallas_attention.local_attention if use_pallas
-               else attention.local_attention)
-    out = attn_fn(heads(q), heads(k), heads(v),
-                  window_size=tc.window_size, bias=bias)
+                  and not os.environ.get("L3AC_TPU_NO_PALLAS")
+                  and not rotary)
+    if use_pallas:
+        out = pallas_attention.local_attention(
+            heads(q), heads(k), heads(v), window_size=tc.window_size, bias=bias)
+    else:
+        out = attention.local_attention(
+            heads(q), heads(k), heads(v), window_size=tc.window_size,
+            bias=bias, rotary=rotary)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, tc.inner_dim)
     return linear_p(out, p["out"])
 

@@ -59,14 +59,51 @@ def dynamic_position_bias(params: dict, window_size: int) -> jnp.ndarray:
     return jnp.transpose(table[idx], (2, 0, 1))           # (heads, n, 2n)
 
 
-@functools.partial(jax.jit, static_argnames=("window_size",))
+def rotary_freqs(window_size: int, dim: int) -> jnp.ndarray:
+    """Sinusoidal rotary frequency table over the [prev | cur] key extent.
+
+    Matches local-attention 1.11.2's SinusoidalEmbeddings (use_xpos=False):
+    ``inv_freq = 10000^{-2i/d}``, positions are window-relative 0..2n-1 (the
+    package evaluates freqs on the looked-around keys and queries take the
+    last n rows), duplicated to fill the head dim. Returns (2n, dim) fp32.
+    """
+    inv = 1.0 / (10000.0 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(2 * window_size, dtype=jnp.float32)
+    fr = t[:, None] * inv[None, :]
+    return jnp.concatenate([fr, fr], axis=-1)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    d = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
+
+
+def apply_rotary(q_w: jnp.ndarray, k_w: jnp.ndarray,
+                 freqs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotate windowed q (..., n, d) / looked-around k (..., 2n, d) by the
+    window-relative freqs table (local-attention 1.11.2 apply_rotary_pos_emb,
+    half-split rotate, scale=1)."""
+    n = q_w.shape[-2]
+    qf = freqs[-n:]
+    cq, sq = jnp.cos(qf).astype(q_w.dtype), jnp.sin(qf).astype(q_w.dtype)
+    ck, sk = jnp.cos(freqs).astype(k_w.dtype), jnp.sin(freqs).astype(k_w.dtype)
+    q = q_w * cq + _rotate_half(q_w) * sq
+    k = k_w * ck + _rotate_half(k_w) * sk
+    return q, k
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "rotary"))
 def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     window_size: int,
-                    bias: jnp.ndarray | None = None) -> jnp.ndarray:
+                    bias: jnp.ndarray | None = None,
+                    rotary: bool = False) -> jnp.ndarray:
     """Causal local windowed attention.
 
     q, k, v: (B, H, T, D) with T a multiple of window_size (caller pads).
     bias: optional (H, n, 2n) additive position bias.
+    rotary: apply window-relative rotary embeddings to q/k — the reference's
+    ``use_rotary_pos_emb`` path, active when dynamic position bias is off
+    (dead in all released configs, SURVEY.md §2.2).
     Returns (B, H, T, D).
     """
     B, H, T, D = q.shape
@@ -85,6 +122,9 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     prev_v = jnp.concatenate([jnp.zeros_like(bv[:, :, :1]), bv[:, :, :-1]], axis=2)
     kk = jnp.concatenate([prev_k, bk], axis=3)  # (B, H, W, 2n, D)
     vv = jnp.concatenate([prev_v, bv], axis=3)
+
+    if rotary:
+        bq, kk = apply_rotary(bq, kk, rotary_freqs(n, D))
 
     sim = jnp.einsum("bhwid,bhwjd->bhwij", bq, kk,
                      preferred_element_type=jnp.float32)

@@ -93,17 +93,21 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     t = pl.program_id(1)
     C = xc_ref.shape[1]
     S = xc_ref.shape[2]
+    # elementwise chain runs in the activation dtype (bf16 in production —
+    # the kernel is VMEM-bandwidth-bound, fp32 intermediates double it);
+    # norm statistics and matmul accumulation stay fp32
+    cdt = xc_ref.dtype
 
     prev = xp_ref[0, :, S - halo:]
     nxt = xn_ref[0, :, :halo]
     prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
-    xpad = jnp.concatenate([prev, xc_ref[0], nxt], axis=1).astype(jnp.float32)
+    xpad = jnp.concatenate([prev, xc_ref[0], nxt], axis=1)
 
     acc = jnp.broadcast_to(dwb_ref[...].astype(jnp.float32), (C, S))
     for k in range(kernel_size):
         off = k * dilation
-        acc = acc + xpad[:, off:off + S] * \
+        acc = acc + xpad[:, off:off + S].astype(jnp.float32) * \
             dww_ref[:, k:k + 1].astype(jnp.float32)
 
     if has_norm:
@@ -115,21 +119,21 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
 
     h = jnp.dot(w1t_ref[...], acc.astype(w1t_ref.dtype),
                 preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32)
+    h = (h + b1_ref[...].astype(jnp.float32)).astype(cdt)
 
     if has_snake:
-        a = alpha_ref[...].astype(jnp.float32)
-        h = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
+        a = alpha_ref[...].astype(cdt)
+        h = h + jnp.sin(a * h) ** 2 / (a.astype(jnp.float32) + 1e-8
+                                       ).astype(cdt)
     else:
-        h = _math.gelu_exact(h)
+        h = _math.gelu_exact(h.astype(jnp.float32)).astype(cdt)
 
-    h = gamma_ref[...].astype(jnp.float32) * h + \
-        beta_ref[...].astype(jnp.float32) + h
+    h = gamma_ref[...].astype(cdt) * h + beta_ref[...].astype(cdt) + h
 
     y = jnp.dot(w2t_ref[...], h.astype(w2t_ref.dtype),
                 preferred_element_type=jnp.float32)
     y = y + b2_ref[...].astype(jnp.float32)
-    o_ref[0] = (xpad[:, halo:halo + S] + y).astype(o_ref.dtype)
+    o_ref[0] = (xpad[:, halo:halo + S].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilation",

@@ -101,28 +101,33 @@ def _kernel(xp_ref, xc_ref, xn_ref, wb_ref, bb_ref, w1_ref, b1_ref, w2_ref,
                 apad[:, kk:kk + R]
         branches.append(acc)
 
+    wdt = w1_ref.dtype
     h = jnp.concatenate(branches, axis=0)                     # (20, R)
-    h = jnp.dot(w1_ref[...].astype(jnp.float32).T, h,
+    h = jnp.dot(w1_ref[...].T.astype(wdt), h.astype(wdt),
                 preferred_element_type=jnp.float32) + \
         b1_ref[0].astype(jnp.float32)[:, None]                # (80, R)
     h = _math.gelu_exact(h)
-    h = jnp.concatenate([h, x], axis=0)                       # (81, R)
-    y = jnp.dot(w2_ref[...].astype(jnp.float32).T, h,
+    h = jnp.concatenate([h.astype(wdt), x.astype(wdt)], axis=0)  # (81, R)
+    y = jnp.dot(w2_ref[...].T.astype(wdt), h,
                 preferred_element_type=jnp.float32) + \
         b2_ref[0].astype(jnp.float32)[:, None]                # (Cout, R)
     o_ref[0] = y[:, HALO:HALO + S].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def first_block(x: jnp.ndarray, p: dict, *, interpret: bool = False) -> jnp.ndarray:
-    """x: (B, T, 1) audio -> (B, T, target_dim). ``p``: FirstBlock params."""
+def first_block_ct(x: jnp.ndarray, p: dict, *,
+                   interpret: bool = False) -> jnp.ndarray:
+    """x: (B, T, 1) audio -> transposed features (B, target_dim, T). Blocks
+    are sliced straight out of the audio row and written into the (B, C, T)
+    output by index maps, so the encoder's narrow front section continues in
+    the lane-packed layout with no relayout."""
     B, T, _ = x.shape
     Cout = p["conv2"]["w"].shape[2]
     S = 4096
     pad = (-T) % S
-    xt = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    xr = x.reshape(B, 1, T)
+    xf = jnp.pad(xr, ((0, 0), (0, 0), (0, pad))) if pad else xr
     NT = (T + pad) // S
-    xf = xt.reshape(B, NT, S, 1).transpose(0, 1, 3, 2).reshape(B * NT, 1, S)
 
     wb = jnp.stack([br["w"][:, 0, :] for br in p["base"]["branches"]])  # (5,7,4)
     bb = jnp.stack([br["b"] for br in p["base"]["branches"]])           # (5,4)
@@ -132,13 +137,13 @@ def first_block(x: jnp.ndarray, p: dict, *, interpret: bool = False) -> jnp.ndar
     b2 = p["conv2"]["b"].reshape(1, -1)
 
     def cur_map(b, t):
-        return (b * NT + t, 0, 0)
+        return (b, 0, t)
 
     def prev_map(b, t):
-        return (b * NT + jnp.maximum(t - 1, 0), 0, 0)
+        return (b, 0, jnp.maximum(t - 1, 0))
 
     def next_map(b, t):
-        return (b * NT + jnp.minimum(t + 1, NT - 1), 0, 0)
+        return (b, 0, jnp.minimum(t + 1, NT - 1))
 
     xspec = lambda imap: pl.BlockSpec((1, 1, S), imap, memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
@@ -152,10 +157,13 @@ def first_block(x: jnp.ndarray, p: dict, *, interpret: bool = False) -> jnp.ndar
         in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
                  [full(a) for a in consts],
         out_specs=pl.BlockSpec((1, Cout, S), cur_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * NT, Cout, S), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Cout, T + pad), x.dtype),
         interpret=interpret,
     )(xf, xf, xf, *consts)
-    # back to (B, T, Cout)
-    out = out.reshape(B, NT, Cout, S).transpose(0, 1, 3, 2).reshape(
-        B, T + pad, Cout)
-    return out[:, :T] if pad else out
+    return out[:, :, :T] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def first_block(x: jnp.ndarray, p: dict, *, interpret: bool = False) -> jnp.ndarray:
+    """x: (B, T, 1) audio -> (B, T, target_dim). ``p``: FirstBlock params."""
+    return first_block_ct(x, p, interpret=interpret).transpose(0, 2, 1)

@@ -36,17 +36,17 @@ def _snake(x, a):
     return x + jnp.sin(a * x) ** 2 / (a + 1e-8)
 
 
-def _conv_lanes(x, wt, b, dilation, R):
-    """Conv along lanes. x: (C, Rp) f32 already zero-padded by (K-1)*dil//2 on
-    each side; wt: (K, Cout, Cin) pre-transposed; b: (Cout, 1) f32. Matmuls run
-    in the weight dtype (bf16 in production) with fp32 accumulation."""
+def _conv_lanes(x, wt, b, dilation, R, cdt):
+    """Conv along lanes. x: (C, Rp) already zero-padded by (K-1)*dil//2 on
+    each side; wt: (K, Cout, Cin) pre-transposed; b: (Cout, 1). Matmuls run
+    in the weight dtype with fp32 accumulation, result cast back to ``cdt``."""
     K = wt.shape[0]
-    acc = jnp.broadcast_to(b, (wt.shape[1], R)).astype(jnp.float32)
+    acc = jnp.broadcast_to(b.astype(jnp.float32), (wt.shape[1], R))
     xw = x.astype(wt.dtype)
     for k in range(K):
         acc = acc + jnp.dot(wt[k], xw[:, k * dilation:k * dilation + R],
                             preferred_element_type=jnp.float32)
-    return acc
+    return acc.astype(cdt)
 
 
 def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1t_ref, b1_ref, a2_ref, w2t_ref,
@@ -56,32 +56,35 @@ def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1t_ref, b1_ref, a2_ref, w2t_ref,
     C = xc_ref.shape[1]
     S = xc_ref.shape[2]
     R = S + 2 * HALO
+    # activations stay in the input dtype (bf16 in production): the kernel is
+    # VMEM-bandwidth-bound; matmuls accumulate fp32 inside _conv_lanes
+    cdt = xc_ref.dtype
 
     prev = xp_ref[0, :, S - HALO:]
     nxt = xn_ref[0, :, :HALO]
     prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
-    x = jnp.concatenate([prev, xc_ref[0], nxt], axis=1).astype(jnp.float32)
+    x = jnp.concatenate([prev, xc_ref[0], nxt], axis=1)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) + (t * S - HALO)
     valid = (cols >= 0) & (cols < total_cols)
-    x = jnp.where(valid, x, 0.0)
+    x = jnp.where(valid, x, jnp.zeros((), cdt))
 
     for u, d in enumerate(DILATIONS):
-        h = _snake(x, a1_ref[u].astype(jnp.float32))
+        h = _snake(x, a1_ref[u].astype(cdt))
         pad = 3 * d
         hp = jnp.pad(h, ((0, 0), (pad, pad)))
-        h = _conv_lanes(hp, w1t_ref[u], b1_ref[u].astype(jnp.float32), d, R)
-        h = jnp.where(valid, h, 0.0)
-        h = _snake(h, a2_ref[u].astype(jnp.float32))
-        h = jnp.dot(w2t_ref[u], h.astype(w2t_ref.dtype),
-                    preferred_element_type=jnp.float32) + \
-            b2_ref[u].astype(jnp.float32)
-        x = jnp.where(valid, x + h, 0.0)
+        h = _conv_lanes(hp, w1t_ref[u], b1_ref[u], d, R, cdt)
+        h = jnp.where(valid, h, jnp.zeros((), cdt))
+        h = _snake(h, a2_ref[u].astype(cdt))
+        h = (jnp.dot(w2t_ref[u], h.astype(w2t_ref.dtype),
+                     preferred_element_type=jnp.float32) +
+             b2_ref[u].astype(jnp.float32)).astype(cdt)
+        x = jnp.where(valid, x + h, jnp.zeros((), cdt))
 
-    h = _snake(x, ao_ref[0].astype(jnp.float32))
+    h = _snake(x, ao_ref[0].astype(cdt))
     hp = jnp.pad(h, ((0, 0), (3, 3)))
-    y = _conv_lanes(hp, wot_ref[...], bo_ref[...].astype(jnp.float32), 1, R)
+    y = _conv_lanes(hp, wot_ref[...], bo_ref[...], 1, R, jnp.float32)
     o_ref[0] = jnp.tanh(y[:, HALO:HALO + S]).astype(o_ref.dtype)
 
 

@@ -61,6 +61,30 @@ class DynamicPositionBias(nn.Module):
         return bias[rel_dist_indices].permute(2, 0, 1)          # (heads, i, j)
 
 
+def _rotate_half(x):
+    d = x.shape[-1] // 2
+    x1, x2 = x[..., :d], x[..., d:]
+    return torch.cat((-x2, x1), dim=-1)
+
+
+def _rotary_freqs(n, dim):
+    # SinusoidalEmbeddings (use_xpos=False) of local-attention 1.11.2:
+    # inv_freq = 10000^{-2i/d}; freqs over positions 0..n-1, duplicated.
+    inv = 1.0 / (10000 ** (torch.arange(0, dim, 2).float() / dim))
+    t = torch.arange(n).float()
+    fr = torch.einsum("i,j->ij", t, inv)
+    return torch.cat((fr, fr), dim=-1)
+
+
+def _apply_rotary(bq, bk, freqs):
+    # apply_rotary_pos_emb with scale=1: q takes the last q_len rows.
+    q_len = bq.shape[-2]
+    qf = freqs[-q_len:]
+    bq = bq * qf.cos() + _rotate_half(bq) * qf.sin()
+    bk = bk * freqs.cos() + _rotate_half(bk) * freqs.sin()
+    return bq, bk
+
+
 def _look_around(x, backward=1, forward=0, pad_value=-1):
     # x: (b, w, n, ...) — concat shifted windows along the window-size dim.
     t = x.shape[1]
@@ -79,13 +103,14 @@ def _look_around(x, backward=1, forward=0, pad_value=-1):
 class LocalAttention(nn.Module):
     def __init__(self, window_size, causal=True, look_backward=1, look_forward=0,
                  dropout=0.0, dim=None, autopad=True, exact_windowsize=False,
-                 scale=None, **kwargs):
+                 scale=None, use_rotary_pos_emb=False, **kwargs):
         super().__init__()
         assert causal and look_backward == 1 and look_forward == 0 and autopad
         self.window_size = window_size
         self.exact_windowsize = exact_windowsize
         self.scale = scale
         self.dim = dim
+        self.use_rotary_pos_emb = use_rotary_pos_emb
 
     def forward(self, q, k, v, mask=None, attn_bias=None):
         # q, k, v: (b, h, n, d)
@@ -109,6 +134,12 @@ class LocalAttention(nn.Module):
 
         bk = _look_around(bk, pad_value=0.0)
         bv = _look_around(bv, pad_value=0.0)
+        if self.use_rotary_pos_emb:
+            # the real package evaluates rotary freqs on the looked-around
+            # keys (window-relative positions 0..2ws-1), queries take the
+            # last ws rows (local_attention/local_attention.py of 1.11.2)
+            freqs = _rotary_freqs(bk.shape[-2], d)
+            bq, bk = _apply_rotary(bq, bk, freqs)
         bq_t = b_t.unsqueeze(-1)                                  # (1, w, ws, 1)
         bq_k = _look_around(b_t.unsqueeze(-1), pad_value=-1).squeeze(-1)
         bq_k = bq_k.unsqueeze(-2)                                 # (1, w, 1, 2ws)

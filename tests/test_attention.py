@@ -81,6 +81,29 @@ def test_local_trans_parity_vs_oracle(T):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("T", [48, 50])
+def test_rotary_parity_vs_oracle(T):
+    """Rotary path (reference's use_rotary_pos_emb, active when dynamic pos
+    bias is off — dead in released configs but part of the model surface) vs
+    the torch oracle's replica of local-attention 1.11.2 rotary."""
+    B, H, D, n = 2, 3, 8, 12
+    q = RNG.standard_normal((B, H, T, D)).astype(np.float32)
+    k = RNG.standard_normal((B, H, T, D)).astype(np.float32)
+    v = RNG.standard_normal((B, H, T, D)).astype(np.float32)
+
+    ref = oracle.LocalAttention(window_size=n, causal=True, autopad=True,
+                                dim=D, use_rotary_pos_emb=True)
+    with torch.no_grad():
+        want = ref(torch.tensor(q), torch.tensor(k), torch.tensor(v)).numpy()
+
+    pad = (-T) % n
+    qj, kj, vj = (jnp.pad(jnp.asarray(a), ((0, 0), (0, 0), (0, pad), (0, 0)))
+                  for a in (q, k, v))
+    got = attention.local_attention(qj, kj, vj, window_size=n, rotary=True)
+    np.testing.assert_allclose(np.asarray(got)[:, :, :T], want,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_causality():
     """Changing future inputs must not affect past outputs."""
     dim, depth, window = 32, 2, 16
