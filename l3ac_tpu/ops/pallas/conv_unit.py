@@ -119,14 +119,16 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
 
     h = jnp.dot(w1t_ref[...], acc.astype(w1t_ref.dtype),
                 preferred_element_type=jnp.float32)
-    h = (h + b1_ref[...].astype(jnp.float32)).astype(cdt)
+    h = h + b1_ref[...].astype(jnp.float32)
 
     if has_snake:
-        a = alpha_ref[...].astype(cdt)
-        h = h + jnp.sin(a * h) ** 2 / (a.astype(jnp.float32) + 1e-8
-                                       ).astype(cdt)
+        # snake stays fp32: Mosaic cannot legalize bf16 math.sin, and the
+        # parity contract computes sin in fp32 regardless of activation dtype
+        a = alpha_ref[...].astype(jnp.float32)
+        h = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
     else:
-        h = _math.gelu_exact(h.astype(jnp.float32)).astype(cdt)
+        h = _math.gelu_exact(h)
+    h = h.astype(cdt)
 
     h = gamma_ref[...].astype(cdt) * h + beta_ref[...].astype(cdt) + h
 

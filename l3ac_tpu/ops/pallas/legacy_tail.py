@@ -33,7 +33,11 @@ HALO = 3 * sum(DILATIONS) + 3  # 42
 
 
 def _snake(x, a):
-    return x + jnp.sin(a * x) ** 2 / (a + 1e-8)
+    # sin/divide in fp32 — Mosaic cannot legalize bf16 math.sin, and parity
+    # computes snake in fp32 anyway; storage stays in the activation dtype
+    xf = x.astype(jnp.float32)
+    af = a.astype(jnp.float32)
+    return (xf + jnp.sin(af * xf) ** 2 / (af + 1e-8)).astype(x.dtype)
 
 
 def _conv_lanes(x, wt, b, dilation, R, cdt):

@@ -28,16 +28,16 @@ def _attn_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, bias_ref, o_ref, *,
                  scale: float):
     w = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # (n, D)
+    q = q_ref[0].astype(jnp.float32) * scale          # (rq, D) query row tile
     kp = kp_ref[0].astype(jnp.float32)                # (n, D) previous window
     kc = kc_ref[0].astype(jnp.float32)                # (n, D) current window
+    n = kc.shape[0]
 
     s_prev = jax.lax.dot_general(q, kp, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     s_cur = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    n = q.shape[0]
-    s = jnp.concatenate([s_prev, s_cur], axis=-1)      # (n, 2n)
+    s = jnp.concatenate([s_prev, s_cur], axis=-1)      # (rq, 2n)
     s = s + bias_ref[0]                                # bias + causal mask
 
     # first window: the "previous" block is window 0 again (clamped index);
@@ -59,6 +59,21 @@ def _attn_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, bias_ref, o_ref, *,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _row_tile(n: int) -> tuple[int, int]:
+    """(row_tile, padded_n) for the query dimension.
+
+    Small windows run as one (n, 2n) block. Large windows (the 1kbps DownTrans
+    window of 750 at fp32 pushes the score/bias/exp buffers past the 16 MiB
+    VMEM scope) are split into 256-query row tiles against the full 2n keys:
+    the padded query rows carry zero bias, never see NEG_INF-only rows, and
+    are cropped from the output.
+    """
+    if 16 * n * 2 * n <= (6 << 20):  # ~4 fp32 (rq, 2n) buffers stay under 6MiB
+        return n, n
+    rq = 256
+    return rq, -(-n // rq) * rq
+
+
 @functools.partial(jax.jit, static_argnames=("window_size", "interpret"))
 def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     window_size: int, bias: jnp.ndarray | None = None,
@@ -73,47 +88,61 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     assert T % n == 0
     W = T // n
     BH = B * H
+    rq, n_pad = _row_tile(n)
+    NR = n_pad // rq
 
     # windows flattened into the leading axis so each block's trailing dims
     # equal the full array dims (TPU block-shape constraint: last two dims
     # divisible by (8, 128) OR equal to the array dims — n=250/750 and D=32
-    # satisfy only the latter).
+    # satisfy only the latter; the large-window row tile rq=256 is an (8,128)
+    # multiple).
     qf = q.reshape(BH * W, n, D)
+    if n_pad != n:
+        qf = jnp.pad(qf, ((0, 0), (0, n_pad - n), (0, 0)))
     kf = k.reshape(BH * W, n, D)
     vf = v.reshape(BH * W, n, D)
 
-    # fold causal mask (and bias) into one additive (H, n, 2n) tensor
+    # fold causal mask (and bias) into one additive (H, n, 2n) tensor; padded
+    # query rows get zero bias (finite scores -> no NaN, rows cropped below)
     mask_add = jnp.where(local_attention_mask(n), 0.0, NEG_INF).astype(jnp.float32)
     if bias is None:
         bias_all = jnp.broadcast_to(mask_add, (H, n, 2 * n))
     else:
         bias_all = bias.astype(jnp.float32) + mask_add
+    if n_pad != n:
+        bias_all = jnp.pad(bias_all, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    grid = (BH, W)
+    grid = (BH, W, NR)
 
-    def qo_map(b, w):
+    def q_map(b, w, r):
+        return (b * W + w, r, 0)
+
+    def cur_map(b, w, r):
         return (b * W + w, 0, 0)
 
-    def prev_map(b, w):
+    def prev_map(b, w, r):
         return (b * W + jnp.maximum(w - 1, 0), 0, 0)
 
-    def bias_map(b, w):
-        return (b % H, 0, 0)
+    def bias_map(b, w, r):
+        return (b % H, r, 0)
 
     kernel = functools.partial(_attn_kernel, scale=D ** -0.5)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, D), qo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rq, D), q_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, D), prev_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, D), qo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, D), cur_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, D), prev_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, D), qo_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 2 * n), bias_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, D), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rq, 2 * n), bias_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, D), qo_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH * W, n, D), q.dtype),
+        out_specs=pl.BlockSpec((1, rq, D), q_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH * W, n_pad, D), q.dtype),
         interpret=interpret,
     )(qf, kf, kf, vf, vf, bias_all)
+    out = out.reshape(B, H, W, n_pad, D)
+    if n_pad != n:
+        out = out[:, :, :, :n]
     return out.reshape(B, H, T, D)

@@ -80,6 +80,27 @@ def test_pallas_first_block_matches_reference(B, T):
                                rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("n,T", [(512, 1024), (450, 900)])
+def test_pallas_local_attention_row_tiled(n, T):
+    """Large windows take the query-row-tiled path (rq=256), including the
+    padded-n case (450 -> 512) where out-of-window query rows are cropped."""
+    from l3ac_tpu.ops.pallas.local_attention import _row_tile
+    rq, n_pad = _row_tile(n)
+    assert rq == 256 and n_pad == 512
+
+    B, H, D = 1, 2, 32
+    q = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
+    bias = jnp.asarray(RNG.standard_normal((H, n, 2 * n)).astype(np.float32))
+
+    want = ref_attn.local_attention(q, k, v, window_size=n, bias=bias)
+    got = pl_attn.local_attention(q, k, v, window_size=n, bias=bias,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_local_attention_with_bias():
     B, H, T, D, n = 1, 6, 48, 32, 16
     q = jnp.asarray(RNG.standard_normal((B, H, T, D)).astype(np.float32))
