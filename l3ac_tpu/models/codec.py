@@ -80,8 +80,120 @@ def decode(params: dict, q_trans_feature: jnp.ndarray, mc: ModelConfig) -> jnp.n
 
 
 def decode_indices(params: dict, indices: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
-    feat = indices_to_features(params["quantizer"], indices, mc.vq)
+    # FSQ unpack is integer-exact in any float dtype; emit codes in the params'
+    # ambient dtype so bf16 checkpoints decode without a dtype clash.
+    dtype = jax.tree_util.tree_leaves(params["decoder"])[0].dtype
+    feat = indices_to_features(params["quantizer"], indices, mc.vq, dtype=dtype)
     return decode(params, feat, mc)
+
+
+def sp_time_quantum(mc: ModelConfig) -> int:
+    """Per-shard sample granularity for sequence parallelism.
+
+    Each sp shard's audio length must be a multiple of ``hop_length *
+    en_coder_window_size``: hop-divisibility keeps every strided conv's grid
+    from straddling a shard boundary, and window-divisibility keeps the global
+    local-attention window grid aligned across shards (every transformer stage's
+    window divides this quantum at its own rate — DownTrans runs at the conv
+    token rate with window ``win * rate``, the post/pre stacks at the token rate
+    with window ``win``; both divide ``hop * win`` samples exactly).
+    """
+    return mc.hop_length * mc.en_coder_window_size
+
+
+def _check_sp_len(T: int, mc: ModelConfig, n_sp: int, what: str, per_shard: int):
+    if T % (per_shard * n_sp):
+        raise ValueError(
+            f"{what} length {T} must be a multiple of {per_shard * n_sp} "
+            f"({n_sp} sp shards x quantum {per_shard}); pad/chunk the input "
+            f"(see runtime.chunk) before the sp call")
+
+
+def encode_sp(params: dict, audio: jnp.ndarray, mc: ModelConfig, mesh, *,
+              axis_name: str = "sp", batch_axis: str | None = None):
+    """:func:`encode` with the time axis sharded over ``mesh[axis_name]``.
+
+    The TPU-idiomatic replacement for the reference's sequential ``ChunkData``
+    streaming (``l3ac/codec.py:124-188``): instead of chunking with a 1-hop
+    prefix (an *approximation* — the prefix is smaller than the receptive
+    field), the time axis is sharded across chips and every op exchanges
+    exactly the halo it needs (``parallel.sp``), so the sharded result equals
+    the monolithic one to float tolerance and FSQ indices exactly.
+
+    audio: (B, T) already padded; T must be a multiple of
+    ``sp_time_quantum(mc) * n_sp``. Optionally shard batch over ``batch_axis``.
+    Returns (q_trans_feature, indices) with the same sharding over time.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import sp as spx
+
+    n_sp = mesh.shape[axis_name]
+    _check_sp_len(audio.shape[-1], mc, n_sp, "audio", sp_time_quantum(mc))
+
+    def body(p, a):
+        with spx.sequence_parallel(axis_name):
+            return encode(p, a, mc)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(batch_axis, axis_name)),
+        out_specs=(P(batch_axis, axis_name, None), P(batch_axis, axis_name)),
+    )(params, audio)
+
+
+def decode_sp(params: dict, q_trans_feature: jnp.ndarray, mc: ModelConfig,
+              mesh, *, axis_name: str = "sp",
+              batch_axis: str | None = None) -> jnp.ndarray:
+    """:func:`decode` with the token time axis sharded over ``mesh[axis_name]``.
+
+    q_trans_feature: (B, T'', C); T'' must be a multiple of
+    ``en_coder_window_size * n_sp``. Returns (B, T) audio, time-sharded.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import sp as spx
+
+    n_sp = mesh.shape[axis_name]
+    _check_sp_len(q_trans_feature.shape[1], mc, n_sp, "token",
+                  mc.en_coder_window_size)
+
+    def body(p, q):
+        with spx.sequence_parallel(axis_name):
+            return decode(p, q, mc)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(batch_axis, axis_name, None)),
+        out_specs=P(batch_axis, axis_name),
+    )(params, q_trans_feature)
+
+
+def decode_indices_sp(params: dict, indices: jnp.ndarray, mc: ModelConfig,
+                      mesh, *, axis_name: str = "sp",
+                      batch_axis: str | None = None) -> jnp.ndarray:
+    """:func:`decode_indices` with the token time axis sharded (FSQ unpack is
+    pointwise over time, so it shards trivially; the transformer/conv decode
+    halo-exchanges)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import sp as spx
+
+    n_sp = mesh.shape[axis_name]
+    _check_sp_len(indices.shape[1], mc, n_sp, "token", mc.en_coder_window_size)
+
+    def body(p, idx):
+        with spx.sequence_parallel(axis_name):
+            return decode_indices(p, idx, mc)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(batch_axis, axis_name)),
+        out_specs=P(batch_axis, axis_name),
+    )(params, indices)
 
 
 def forward(params: dict, audio: jnp.ndarray, mc: ModelConfig, *,

@@ -99,9 +99,8 @@ def _mha_apply(p: dict, x: jnp.ndarray, tc: TransConfig,
     # use_rotary_pos_emb — active only when dynamic position bias is off,
     # which no released config does; l3ac/local_trans.py:29)
     rotary = not tc.dynamic_pos
-    use_pallas = (jax.default_backend() not in ("cpu",)
-                  and not os.environ.get("L3AC_TPU_NO_PALLAS")
-                  and not rotary)
+    from ..ops import pallas as pk
+    use_pallas = pk.enabled() and not rotary
     if use_pallas:
         out = pallas_attention.local_attention(
             heads(q), heads(k), heads(v), window_size=tc.window_size, bias=bias)
@@ -125,6 +124,11 @@ def local_trans_apply(p: dict, x: jnp.ndarray, tc: TransConfig) -> jnp.ndarray:
     B, T, C = x.shape
     pad = (-T) % tc.window_size
     if pad:
+        from ..parallel import sp
+        assert not sp.active(), (
+            "under sequence parallelism the per-shard length must be a window "
+            f"multiple (got T={T}, window={tc.window_size}) so the global "
+            "window grid stays aligned across shards")
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     bias = None
     if tc.dynamic_pos:

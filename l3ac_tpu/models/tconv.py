@@ -99,6 +99,7 @@ def enhance_block_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     pipeline has 1-4 channels, where conv lowering wastes nearly every lane.
     """
     from ..ops import trend_pool
+    from ..parallel import sp
     xi = x[..., :1]
     T = x.shape[1]
     metas = _branch_meta(ENHANCE_CONVS, ENHANCE_POOLS, ENHANCE_DILATION_RATE)
@@ -106,7 +107,7 @@ def enhance_block_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     for bp, m in zip(p["base"]["branches"], metas):
         h = trend_pool(xi, m["pool_k"])
         d, pad = m["dilation"], m["padding"]
-        hp = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+        hp = sp.pad_time(h, pad, pad, axis=1)
         w = bp["w"]  # (7, 1, 1)
         acc = bp["b"][0] + w[0, 0, 0] * hp[:, :T, :]
         for k in range(1, w.shape[0]):
@@ -132,6 +133,7 @@ def enhance_block_apply_t(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     FMA form at decoder stage-3 shapes).
     """
     from ..ops import transposed as tx
+    from ..parallel import sp
     xi = x[:, :1, :]
     T = x.shape[2]
     metas = _branch_meta(ENHANCE_CONVS, ENHANCE_POOLS, ENHANCE_DILATION_RATE)
@@ -140,7 +142,7 @@ def enhance_block_apply_t(p: dict, x: jnp.ndarray) -> jnp.ndarray:
         h = tx.trend_pool_t(xi, m["pool_k"])
         # conv 1 -> 1, k=7, dilated: 7 shifted FMAs on the (B, 1, T) row
         d, pad = m["dilation"], m["padding"]
-        hp = jnp.pad(h, ((0, 0), (0, 0), (pad, pad)))
+        hp = sp.pad_time(h, pad, pad, axis=2)
         w = bp["w"]  # (7, 1, 1)
         acc = bp["b"][0] + w[0, 0, 0] * hp[:, :, :T]
         for k in range(1, w.shape[0]):

@@ -69,7 +69,14 @@ class L3AC:
                 continue
             url = self.config.resolved_weight_url.format(module)
             log.warning("Downloading %s -> %s", url, target)
-            urllib.request.urlretrieve(url, target)
+            try:
+                urllib.request.urlretrieve(url, target)
+            except Exception as e:
+                target.unlink(missing_ok=True)  # drop any partial file
+                raise RuntimeError(
+                    f"failed to download {url} -> {target}: {e}; check network "
+                    "access or place the per-module .pt checkpoints under "
+                    f"{path} manually") from e
 
     # -- inference --------------------------------------------------------
     def preprocess(self, audio) -> tuple[jnp.ndarray, int]:

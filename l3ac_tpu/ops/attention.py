@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..parallel import sp
+
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
@@ -92,7 +94,6 @@ def apply_rotary(q_w: jnp.ndarray, k_w: jnp.ndarray,
     return q, k
 
 
-@functools.partial(jax.jit, static_argnames=("window_size", "rotary"))
 def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     window_size: int,
                     bias: jnp.ndarray | None = None,
@@ -105,7 +106,25 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     ``use_rotary_pos_emb`` path, active when dynamic position bias is off
     (dead in all released configs, SURVEY.md §2.2).
     Returns (B, H, T, D).
+
+    Under sequence parallelism (``parallel.sp``) the first local window's
+    "previous" KV block is fetched from the left neighbor shard with one
+    ``ppermute`` (the windowed structure makes this the entire cross-shard
+    communication of the layer); only the globally-first window masks its
+    backward keys. The SP path is never wrapped in its own ``jax.jit``: it is
+    only reachable inside a ``shard_map`` body (already under the caller's
+    trace), and the jit cache would not key on the sp context. The non-SP path
+    is jitted so eager callers don't run op-by-op.
     """
+    if sp.active():
+        return _local_attention_body(q, k, v, bias, window_size=window_size,
+                                     rotary=rotary)
+    return _local_attention_jit(q, k, v, bias, window_size=window_size,
+                                rotary=rotary)
+
+
+def _local_attention_body(q, k, v, bias, *, window_size: int,
+                          rotary: bool) -> jnp.ndarray:
     B, H, T, D = q.shape
     n = window_size
     assert T % n == 0, (T, n)
@@ -116,10 +135,19 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     bk = k.reshape(B, H, W, n, D)
     bv = v.reshape(B, H, W, n, D)
 
-    # keys/values of [previous | current] window; first window's "previous" is
-    # a zero block whose logits get masked below.
-    prev_k = jnp.concatenate([jnp.zeros_like(bk[:, :, :1]), bk[:, :, :-1]], axis=2)
-    prev_v = jnp.concatenate([jnp.zeros_like(bv[:, :, :1]), bv[:, :, :-1]], axis=2)
+    # keys/values of [previous | current] window; the globally-first window's
+    # "previous" is a zero block whose logits get masked below. Under SP, each
+    # shard's first window receives the left neighbor's last KV window
+    # (ppermute zero-fills shard 0, which masks it anyway).
+    if sp.active():
+        assert not rotary, "rotary path not supported under sequence parallelism"
+        prev0_k = sp._send_right(bk[:, :, -1:])
+        prev0_v = sp._send_right(bv[:, :, -1:])
+    else:
+        prev0_k = jnp.zeros_like(bk[:, :, :1])
+        prev0_v = jnp.zeros_like(bv[:, :, :1])
+    prev_k = jnp.concatenate([prev0_k, bk[:, :, :-1]], axis=2)
+    prev_v = jnp.concatenate([prev0_v, bv[:, :, :-1]], axis=2)
     kk = jnp.concatenate([prev_k, bk], axis=3)  # (B, H, W, 2n, D)
     vv = jnp.concatenate([prev_v, bv], axis=3)
 
@@ -132,11 +160,18 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         sim = sim + bias[None, :, None].astype(sim.dtype)
 
     mask = local_attention_mask(n)[None, None, None]          # causal
-    # first window: keys j < n come from the zero pad block -> invalid
+    # globally-first window: keys j < n have no real previous block -> invalid
     first = (jnp.arange(W)[:, None, None] == 0) & (jnp.arange(2 * n)[None, None, :] < n)
-    mask = mask & ~first[None, None]
+    first = first[None, None]
+    if sp.active():
+        first = first & (sp.index() == 0)
+    mask = mask & ~first
     sim = jnp.where(mask, sim, NEG_INF)
 
     attn = jax.nn.softmax(sim, axis=-1)
     out = jnp.einsum("bhwij,bhwjd->bhwid", attn.astype(vv.dtype), vv)
     return out.reshape(B, H, T, D)
+
+
+_local_attention_jit = functools.partial(
+    jax.jit, static_argnames=("window_size", "rotary"))(_local_attention_body)

@@ -15,11 +15,23 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..parallel import sp
+
 
 def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None, *,
            stride: int = 1, padding: int = 0, dilation: int = 1,
            groups: int = 1) -> jnp.ndarray:
-    """General 1-D conv. x: (B, T, Cin); w: (K, Cin//groups, Cout); b: (Cout,)."""
+    """General 1-D conv. x: (B, T, Cin); w: (K, Cin//groups, Cout); b: (Cout,).
+
+    Under sequence parallelism (``parallel.sp``) the symmetric zero padding
+    becomes a neighbor halo exchange (zero fill at the global edges — identical
+    to the monolithic zero pad) followed by a VALID conv.
+    """
+    if padding and sp.active():
+        assert stride == 1, "sp conv1d supports stride 1 (strided convs are pad-free)"
+        assert (w.shape[0] - 1) * dilation == 2 * padding, "sp conv1d needs centered SAME padding"
+        x = sp.pad_time(x, padding, padding, axis=1)
+        padding = 0
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NWC", "WIO", "NWC"))
     y = lax.conv_general_dilated(
         x, w,

@@ -16,15 +16,27 @@ Semantics match the reference:
 
 import jax.numpy as jnp
 
+from ..parallel import sp
+
 EPS = 1e-8
+
+
+def _stat_dtype(x: jnp.ndarray):
+    """Moments are computed in fp32 when the ambient dtype is narrower: the
+    eps values here (1e-8, 1e-5) are at or below bf16 resolution, and mean/var
+    cancellation in bf16 loses most of the signal. Weights/activations stay in
+    the ambient dtype — only the reduction runs wide (free on TPU: the VPU
+    accumulates fp32 anyway)."""
+    return jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
 
 
 def channel_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                  eps: float = EPS) -> jnp.ndarray:
     """Normalize over the last (channel) axis. ``weight``/``bias``: (C,)."""
-    u = jnp.mean(x, axis=-1, keepdims=True)
-    s = jnp.mean((x - u) ** 2, axis=-1, keepdims=True)
-    xn = (x - u) / jnp.sqrt(s + eps)
+    xs = x.astype(_stat_dtype(x))
+    u = jnp.mean(xs, axis=-1, keepdims=True)
+    s = jnp.mean((xs - u) ** 2, axis=-1, keepdims=True)
+    xn = ((xs - u) / jnp.sqrt(s + eps)).astype(x.dtype)
     return weight * xn + bias
 
 
@@ -47,15 +59,25 @@ def grn(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     per-batch scalar the channel mean is the identity, so ``n = g / (g + eps) ≈ 1``.
     ``y = gamma * (x * n) + beta + x``. gamma/beta: (C,).
     """
-    g = jnp.sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
-    n = g / (g + eps)
+    xs = x.astype(_stat_dtype(x))
+    g = jnp.sqrt(sp.psum_if_active(jnp.sum(xs * xs, axis=(1, 2), keepdims=True)))
+    n = (g / (g + eps)).astype(x.dtype)
     return gamma * (x * n) + beta + x
 
 
 def instance_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                   eps: float = 1e-5) -> jnp.ndarray:
-    """InstanceNorm over the time axis of (B, T, C). ``weight``/``bias``: (C,)."""
-    u = jnp.mean(x, axis=1, keepdims=True)
-    s = jnp.mean((x - u) ** 2, axis=1, keepdims=True)
-    xn = (x - u) / jnp.sqrt(s + eps)
+    """InstanceNorm over the time axis of (B, T, C). ``weight``/``bias``: (C,).
+    Under SP the moments reduce over the *global* time axis via psum."""
+    xs = x.astype(_stat_dtype(x))
+    if sp.active():
+        n = x.shape[1] * sp.size()
+        s1 = sp.psum_if_active(jnp.sum(xs, axis=1, keepdims=True))
+        s2 = sp.psum_if_active(jnp.sum(xs * xs, axis=1, keepdims=True))
+        u = s1 / n
+        s = s2 / n - u * u
+    else:
+        u = jnp.mean(xs, axis=1, keepdims=True)
+        s = jnp.mean((xs - u) ** 2, axis=1, keepdims=True)
+    xn = ((xs - u) / jnp.sqrt(s + eps)).astype(x.dtype)
     return weight * xn + bias

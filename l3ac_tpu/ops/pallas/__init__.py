@@ -13,6 +13,14 @@ from . import conv_unit, first_block, legacy_tail, local_attention  # noqa: F401
 
 
 def enabled() -> bool:
-    """Use Pallas kernels on accelerator backends unless L3AC_TPU_NO_PALLAS."""
+    """Use Pallas kernels on accelerator backends unless L3AC_TPU_NO_PALLAS.
+
+    Disabled inside a sequence-parallel region: the kernels pad locally,
+    while SP replaces every time-axis pad with a neighbor halo exchange
+    (``l3ac_tpu.parallel.sp``). The jnp ops are SP-transparent; the kernels
+    are not (yet).
+    """
+    from ...parallel import sp
     return (jax.default_backend() != "cpu"
-            and not os.environ.get("L3AC_TPU_NO_PALLAS"))
+            and not os.environ.get("L3AC_TPU_NO_PALLAS")
+            and not sp.active())

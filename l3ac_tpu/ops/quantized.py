@@ -3,8 +3,10 @@
 Per-output-channel symmetric int8 for matmul/conv weights; activations stay
 bf16/fp32. For this model family weights are small (~10M params) so the win is
 HBM residency and weight-streaming bandwidth at small batch; the capability is
-wired as a params transform plus matmul helpers, with a fused Pallas
-dequant-matmul kernel in ``ops/pallas/int8_matmul.py``.
+wired as a params transform plus matmul helpers. The dequant (one multiply per
+weight tile) runs inside the surrounding jit and XLA fuses it into the matmul
+read; appliers consume quantized leaves transparently (models/layers.py
+``_dense_w``).
 """
 
 from __future__ import annotations

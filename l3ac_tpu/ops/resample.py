@@ -11,14 +11,18 @@ no gather, fuses with neighbors under XLA.
 
 import jax.numpy as jnp
 
+from ..parallel import sp
+
 
 def upsample_linear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
-    """x: (B, T, C) -> (B, T*scale, C)."""
+    """x: (B, T, C) -> (B, T*scale, C). SP-aware: the +-1 shifts fetch the
+    neighbor shard's boundary frame; clamping only happens at the global edges
+    (matching torch's align_corners=False semantics exactly)."""
     if scale == 1:
         return x
     B, T, C = x.shape
-    x_prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)   # x[n-1], edge-clamped
-    x_next = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)   # x[n+1], edge-clamped
+    x_prev = sp.shift_right(x, axis=1)   # x[n-1], edge-clamped globally
+    x_next = sp.shift_left(x, axis=1)    # x[n+1], edge-clamped globally
     phases = []
     for p in range(scale):
         d = (p + 0.5) / scale - 0.5

@@ -17,6 +17,7 @@ on transposed operands.
 import jax.numpy as jnp
 from jax import lax
 
+from ..parallel import sp
 from .norms import EPS
 
 
@@ -34,7 +35,12 @@ def conv1d_t(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None, *,
              stride: int = 1, padding: int = 0, dilation: int = 1,
              groups: int = 1) -> jnp.ndarray:
     """General 1-D conv on (B, C, T). w: (K, Cin//groups, Cout) — same weight
-    layout as :func:`l3ac_tpu.ops.conv1d`."""
+    layout as :func:`l3ac_tpu.ops.conv1d`. SP-aware like its sibling."""
+    if padding and sp.active():
+        assert stride == 1
+        assert (w.shape[0] - 1) * dilation == 2 * padding
+        x = sp.pad_time(x, padding, padding, axis=2)
+        padding = 0
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NCW", "WIO", "NCW"))
     y = lax.conv_general_dilated(
         x, w,
@@ -63,18 +69,30 @@ def conv1x1_t(x: jnp.ndarray, w: jnp.ndarray,
 def channel_norm_t(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                    eps: float = EPS) -> jnp.ndarray:
     """Normalize over the channel (sublane) axis of (B, C, T)."""
-    u = jnp.mean(x, axis=1, keepdims=True)
-    s = jnp.mean((x - u) ** 2, axis=1, keepdims=True)
-    xn = (x - u) / jnp.sqrt(s + eps)
+    from .norms import _stat_dtype
+    xs = x.astype(_stat_dtype(x))
+    u = jnp.mean(xs, axis=1, keepdims=True)
+    s = jnp.mean((xs - u) ** 2, axis=1, keepdims=True)
+    xn = ((xs - u) / jnp.sqrt(s + eps)).astype(x.dtype)
     return weight[:, None] * xn + bias[:, None]
 
 
 def instance_norm_t(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                     eps: float = 1e-5) -> jnp.ndarray:
-    """InstanceNorm over the time (lane) axis of (B, C, T)."""
-    u = jnp.mean(x, axis=2, keepdims=True)
-    s = jnp.mean((x - u) ** 2, axis=2, keepdims=True)
-    xn = (x - u) / jnp.sqrt(s + eps)
+    """InstanceNorm over the time (lane) axis of (B, C, T). Under SP the
+    moments reduce over the *global* time axis via psum."""
+    from .norms import _stat_dtype
+    xs = x.astype(_stat_dtype(x))
+    if sp.active():
+        n = x.shape[2] * sp.size()
+        s1 = sp.psum_if_active(jnp.sum(xs, axis=2, keepdims=True))
+        s2 = sp.psum_if_active(jnp.sum(xs * xs, axis=2, keepdims=True))
+        u = s1 / n
+        s = s2 / n - u * u
+    else:
+        u = jnp.mean(xs, axis=2, keepdims=True)
+        s = jnp.mean((xs - u) ** 2, axis=2, keepdims=True)
+    xn = ((xs - u) / jnp.sqrt(s + eps)).astype(x.dtype)
     return weight[:, None] * xn + bias[:, None]
 
 
@@ -82,8 +100,10 @@ def grn_t(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
           eps: float = EPS) -> jnp.ndarray:
     """Reference GRN quirk on (B, C, T) — the norm is a per-batch scalar either
     way (see :func:`l3ac_tpu.ops.grn`)."""
-    g = jnp.sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
-    n = g / (g + eps)
+    from .norms import _stat_dtype
+    xs = x.astype(_stat_dtype(x))
+    g = jnp.sqrt(sp.psum_if_active(jnp.sum(xs * xs, axis=(1, 2), keepdims=True)))
+    n = (g / (g + eps)).astype(x.dtype)
     return gamma[:, None] * (x * n) + beta[:, None] + x
 
 
@@ -99,8 +119,8 @@ def upsample_linear_t(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     if scale == 1:
         return x
     B, C, T = x.shape
-    x_prev = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
-    x_next = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    x_prev = sp.shift_right(x, axis=2)
+    x_next = sp.shift_left(x, axis=2)
     phases = []
     for p in range(scale):
         d = (p + 0.5) / scale - 0.5

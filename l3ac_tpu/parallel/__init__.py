@@ -1,2 +1,3 @@
-from . import halo, mesh, sharding  # noqa: F401
+from . import halo, mesh, sharding, sp  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
+from .sp import sequence_parallel  # noqa: F401

@@ -59,8 +59,9 @@ def param_specs(params, tp_size: int = 1):
         lambda path, leaf: _spec_for(path, leaf, tp_size), params)
 
 
-def audio_sharding(mesh: Mesh, *, sp: bool = False) -> NamedSharding:
-    """(B, T) audio: batch over dp, optionally time over sp."""
+def audio_sharding(mesh: Mesh, *, sp: bool = True) -> NamedSharding:
+    """(B, T) audio: batch over dp, time over sp (matching the train step's
+    sharding constraint)."""
     return NamedSharding(mesh, P("dp", "sp" if sp else None))
 
 

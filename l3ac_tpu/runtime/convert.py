@@ -243,21 +243,74 @@ MODULE_CONVERTERS = {
 }
 
 
-def convert_checkpoint(state_dicts: dict, mc: ModelConfig) -> dict:
-    """``{module_name: torch_state_dict}`` -> full codec param pytree."""
-    import jax.numpy as jnp
-    import jax
+class _TrackedStateDict:
+    """Read-only state-dict view that records which keys the converter
+    consumed, so strict mode can diff against the checkpoint's full key set.
+    ``in`` checks do not count as consumption (they probe optional layers)."""
 
-    params = {name: MODULE_CONVERTERS[name](sd, mc)
-              for name, sd in state_dicts.items()}
+    def __init__(self, sd: dict):
+        self._sd = sd
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, key: str):
+        value = self._sd[key]            # KeyError propagates with the key name
+        self.consumed.add(key)
+        return value
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._sd
+
+
+def convert_checkpoint(state_dicts: dict, mc: ModelConfig, *,
+                       strict: bool = False) -> dict:
+    """``{module_name: torch_state_dict}`` -> full codec param pytree.
+
+    With ``strict=True`` the conversion fails loudly on any mismatch between
+    the checkpoint and this framework's layer map — a missing key raises with
+    the exact torch key name, and keys present in the checkpoint but never
+    consumed by the converter are reported per module. This is the guard for
+    validating against REAL released checkpoints (the transformer key names —
+    ``to_qkv``, ``down_trans.down_layer``, ``dynamic_pos_bias.mlp`` — were
+    derived from the local torch oracle, not a downloaded ``en_encoder.pt``;
+    see README "real-checkpoint acceptance").
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = {}
+    problems: list[str] = []
+    for name, sd in state_dicts.items():
+        tracked = _TrackedStateDict(sd)
+        try:
+            params[name] = MODULE_CONVERTERS[name](tracked, mc)
+        except KeyError as e:
+            raise KeyError(
+                f"converter for module '{name}' expected state-dict key {e} "
+                f"which is absent; checkpoint has {len(sd)} keys, e.g. "
+                f"{sorted(sd)[:5]}") from e
+        unconsumed = sorted(set(sd) - tracked.consumed)
+        if unconsumed:
+            problems.append(
+                f"{name}: {len(unconsumed)}/{len(sd)} keys not consumed: "
+                + ", ".join(unconsumed[:12])
+                + (" ..." if len(unconsumed) > 12 else ""))
+    if strict and problems:
+        raise ValueError(
+            "strict checkpoint conversion found unconsumed keys (the torch "
+            "module tree and this converter disagree):\n  "
+            + "\n  ".join(problems))
     return jax.tree.map(jnp.asarray, params)
 
 
-def convert_model_dir(model_path, mc: ModelConfig) -> dict:
-    """Load the reference's 5 per-module .pt files from a directory."""
+def convert_model_dir(model_path, mc: ModelConfig, *, strict: bool = True) -> dict:
+    """Load the reference's 5 per-module .pt files from a directory.
+
+    Strict by default: real released checkpoints must convert with every key
+    accounted for (weight-norm pairs fold into one dense weight each).
+    """
     from pathlib import Path
 
     model_path = Path(model_path)
     sds = {name: load_torch_state_dict(model_path / f"{name}.pt")
            for name in MODULE_CONVERTERS}
-    return convert_checkpoint(sds, mc)
+    return convert_checkpoint(sds, mc, strict=strict)

@@ -87,8 +87,6 @@ class StreamCodec:
                 lo = max(0, start - self.prefix_len)
                 seg = a[lo:start + self.chunk_len]
                 row = np.zeros(in_len, np.float32)
-                off = in_len - (start + self.chunk_len - lo) \
-                    if start + self.chunk_len <= len(a) else 0
                 # left-align with zero left-context for the first chunk,
                 # right-pad the tail chunk
                 row[:len(seg)] = seg

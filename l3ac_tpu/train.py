@@ -74,8 +74,12 @@ def make_sharded_train_step(mesh: Mesh, mc: ModelConfig, lr: float = 1e-4):
     param_sh = None  # resolved lazily per concrete params pytree
 
     def _constrained_loss(params, audio):
+        # batch over dp, time over sp. GSPMD inserts the conv halo exchanges
+        # and attention-window reshard collectives for the spatially sharded
+        # time axis (the explicit-ppermute inference path lives in
+        # models.codec.encode_sp/decode_sp).
         audio = jax.lax.with_sharding_constraint(
-            audio, NamedSharding(mesh, P("dp", None)))
+            audio, NamedSharding(mesh, P("dp", "sp")))
         return loss_fn(params, audio, mc)
 
     @partial(jax.jit, donate_argnums=(0,))

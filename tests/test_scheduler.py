@@ -1,0 +1,113 @@
+"""Mixed-config continuous-batching scheduler (VERDICT r1 missing #3):
+streams of different lengths AND different model configs served concurrently,
+with arrival/departure mid-flight; tokens must equal the per-stream sequential
+StreamCodec results exactly."""
+
+import numpy as np
+import pytest
+
+from l3ac_tpu.config import CodecConfig, ModelConfig, VQConfig, get_config
+from l3ac_tpu.models.zoo import L3AC
+from l3ac_tpu.runtime.scheduler import CodecServer, PyFramer
+from l3ac_tpu.runtime.streaming import StreamCodec
+
+RNG = np.random.default_rng(9)
+
+CHUNK_SECONDS = 0.1
+
+
+def _models():
+    dbg = L3AC(get_config("debug"))
+    tiny3k = L3AC(CodecConfig(
+        model_name="tiny3k",
+        network_config=ModelConfig(
+            feature_dim=32, compress_rates=(4, 3), encoder_dims=(8, 12, 16),
+            encoder_depths=(1, 1, 1), decode_rates=(3, 2, 2),
+            decoder_dims=(16, 12, 8, 8), decoder_depths=(1, 1, 1, 1),
+            decoder_last_layer="legacy", vq=VQConfig(levels=(5, 5, 5)),
+            en_coder_depth=3, en_coder_window_size=16,
+            en_coder_dynamic_pos=True, en_coder_compress_rate=1)),
+        seed=7)
+    return {"debug": dbg, "tiny3k": tiny3k}
+
+
+def _audio(seconds: float) -> np.ndarray:
+    return (RNG.standard_normal(int(seconds * 16000)) * 0.3).astype(np.float32)
+
+
+@pytest.mark.parametrize("use_native", [False, None])
+def test_mixed_config_tokens_match_sequential(use_native):
+    models = _models()
+    server = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=4,
+                         use_native=use_native)
+
+    streams = [("debug", _audio(0.31)), ("tiny3k", _audio(0.17)),
+               ("debug", _audio(0.52)), ("tiny3k", _audio(0.26)),
+               ("debug", _audio(0.08))]
+    handles = [server.submit(cfg, a) for cfg, a in streams[:3]]
+    # arrival mid-flight: two more streams join after work has started
+    assert server.step()
+    handles += [server.submit(cfg, a) for cfg, a in streams[3:]]
+    server.drain()
+
+    seq = {name: StreamCodec(m, chunk_seconds=CHUNK_SECONDS, batch_size=4)
+           for name, m in models.items()}
+    for h, (cfg, a) in zip(handles, streams):
+        want = seq[cfg].encode_streams([a], use_native=False)[0]
+        got = server.tokens(h)
+        np.testing.assert_array_equal(got, want, err_msg=f"{cfg} stream {h}")
+
+
+def test_incremental_feed_matches_one_shot():
+    models = _models()
+    audio = _audio(0.5)
+
+    s1 = CodecServer({"debug": models["debug"]}, chunk_seconds=CHUNK_SECONDS,
+                     batch_size=4, use_native=False)
+    h1 = s1.submit("debug", audio)
+    s1.drain()
+
+    s2 = CodecServer({"debug": models["debug"]}, chunk_seconds=CHUNK_SECONDS,
+                     batch_size=4, use_native=False)
+    h2 = s2.submit("debug")
+    for ofs in range(0, len(audio), 1111):       # ragged incremental arrival
+        s2.feed(h2, audio[ofs:ofs + 1111])
+        s2.step()                                # interleave compute with feeding
+    s2.finish(h2)
+    s2.drain()
+
+    np.testing.assert_array_equal(s1.tokens(h1), s2.tokens(h2))
+
+
+def test_pyframer_matches_native_framer():
+    from l3ac_tpu.runtime import native as native_mod
+    if not native_mod.available():
+        pytest.skip("native framer unavailable")
+    chunk, prefix, batch = 120, 24, 3
+    pf = PyFramer(chunk, prefix, batch)
+    nf = native_mod.NativeFramer(chunk, prefix, batch)
+    lens = [300, 121, 480, 77]
+    for L in lens:
+        a = (RNG.standard_normal(L) * 0.5).astype(np.float32)
+        for f in (pf, nf):
+            sid = f.add_stream()
+            f.feed(sid, a)
+            f.finish(sid)
+    # Batch fill ORDER is a scheduling policy free to differ between the two
+    # implementations; the contract is the row CONTENT per (stream, chunk).
+    def collect(f):
+        rows = {}
+        while True:
+            r, out, sids, cids, valid = f.next_batch()
+            if r == 0:
+                break
+            for i in range(r):
+                rows[(int(sids[i]), int(cids[i]))] = (int(valid[i]),
+                                                      out[i].copy())
+        return rows
+
+    rp, rn = collect(pf), collect(nf)
+    assert rp.keys() == rn.keys()
+    for key in rp:
+        assert rp[key][0] == rn[key][0], key
+        np.testing.assert_array_equal(rp[key][1], rn[key][1], err_msg=str(key))

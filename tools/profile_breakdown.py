@@ -1,5 +1,8 @@
-"""Per-stage timing breakdown on the real TPU: encoder / en_encoder / FSQ /
-en_decoder / decoder, plus the fused roundtrip. Guides kernel work.
+"""Per-stage timing + roofline breakdown on the real TPU: encoder / en_encoder
+/ FSQ / en_decoder / decoder, plus the fused roundtrip. Each stage reports
+measured time, RTF, XLA-counted FLOPs, MFU (vs bf16 peak) and achieved HBM
+bandwidth — so the bottleneck and its roofline position are visible at a
+glance. Guides kernel work.
 
 Timing method: two-point scan-chained (see tools/profile_decoder.timeit) —
 the axon relay elides repeated identical dispatches, block_until_ready does
@@ -72,6 +75,18 @@ def main():
     q = jax.jit(lambda f: quantizer_apply(params["quantizer"], f, mc.vq))(tf)[0]
     qf = jax.jit(lambda x: fcodec.en_decoder_apply(params["en_decoder"], x, mc))(q)
 
+    from bench import _peak_flops
+
+    def cost_of(fn, x):
+        cost = jax.jit(fn).lower(x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if not cost:
+            return 0.0, 0.0
+        return float(cost.get("flops", 0.0)), float(cost.get(
+            "bytes accessed", 0.0))
+
+    peak = _peak_flops()
     stages = [
         ("encoder", lambda a: fcodec.encoder_apply(params["encoder"],
                                                    a[..., None], mc), audio),
@@ -83,16 +98,25 @@ def main():
                                                          x, mc), q),
         ("decoder", lambda f: fcodec.decoder_apply(params["decoder"], f, mc), qf),
     ]
-    total = 0.0
+    print(f"{'stage':12s} {'ms':>8s} {'rtf':>9s} {'GFLOP':>8s} {'MFU%':>6s} "
+          f"{'GB/s':>7s}")
+    total = tot_flops = 0.0
     for name, fn, x in stages:
         dt = timeit(fn, x)
+        fl, by = cost_of(fn, x)
         total += dt
-        print(f"{name:12s} {dt*1e3:8.2f} ms   rtf={audio_sec/dt:8.1f}")
-    print(f"{'sum':12s} {total*1e3:8.2f} ms   rtf={audio_sec/total:8.1f}")
+        tot_flops += fl
+        print(f"{name:12s} {dt*1e3:8.2f} {audio_sec/dt:9.1f} {fl/1e9:8.2f} "
+              f"{100*fl/dt/peak:6.2f} {by/dt/1e9:7.1f}")
+    print(f"{'sum':12s} {total*1e3:8.2f} {audio_sec/total:9.1f} "
+          f"{tot_flops/1e9:8.2f} {100*tot_flops/total/peak:6.2f}")
 
-    dt = timeit(lambda a: fcodec.decode(params, fcodec.encode(params, a, mc)[0],
-                                        mc)[..., 0], audio)
-    print(f"{'roundtrip':12s} {dt*1e3:8.2f} ms   rtf={audio_sec/dt:8.1f}")
+    rt = lambda a: fcodec.decode(params, fcodec.encode(params, a, mc)[0],
+                                 mc)[..., 0]
+    dt = timeit(rt, audio)
+    fl, by = cost_of(rt, audio)
+    print(f"{'roundtrip':12s} {dt*1e3:8.2f} {audio_sec/dt:9.1f} {fl/1e9:8.2f} "
+          f"{100*fl/dt/peak:6.2f} {by/dt/1e9:7.1f}")
 
 
 if __name__ == "__main__":
