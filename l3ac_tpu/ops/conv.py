@@ -88,8 +88,15 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.
 
 def linear_p(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Dense layer from a param dict; transparently supports int8 weight-only
-    quantized leaves ({"w_q", "w_scale"}) produced by ops.quantized."""
+    quantized leaves ({"w_q", "w_scale"}) produced by ops.quantized. On TPU the
+    quantized form routes to the fused dequant-matmul Pallas kernel (the
+    weight streams from HBM at 1 byte/param; the jnp fallback materializes a
+    dequantized copy)."""
     if "w_q" in p:
+        from . import pallas as pk
+        if pk.enabled():
+            return pk.int8_matmul.int8_matmul(x, p["w_q"], p["w_scale"],
+                                              p.get("b"))
         w = (p["w_q"].astype(x.dtype) * p["w_scale"].astype(x.dtype))
     else:
         w = p["w"]

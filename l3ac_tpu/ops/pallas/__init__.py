@@ -9,7 +9,8 @@ import os
 
 import jax
 
-from . import conv_unit, first_block, legacy_tail, local_attention  # noqa: F401
+from . import (conv_unit, first_block, int8_matmul, legacy_tail,  # noqa: F401
+               local_attention)
 
 
 def enabled() -> bool:

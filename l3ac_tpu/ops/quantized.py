@@ -3,9 +3,11 @@
 Per-output-channel symmetric int8 for matmul/conv weights; activations stay
 bf16/fp32. For this model family weights are small (~10M params) so the win is
 HBM residency and weight-streaming bandwidth at small batch; the capability is
-wired as a params transform plus matmul helpers. The dequant (one multiply per
-weight tile) runs inside the surrounding jit and XLA fuses it into the matmul
-read; appliers consume quantized leaves transparently (models/layers.py
+wired as a params transform plus matmul helpers. On TPU, quantized matmuls run
+through the fused dequant-matmul Pallas kernel (``ops/pallas/int8_matmul.py``
+— int8 dequantized in VMEM right before the MXU dot, HBM streams 1
+byte/param); elsewhere the jnp fallback dequantizes inline. Appliers consume
+quantized leaves transparently (``ops.conv.linear_p``, models/layers.py
 ``_dense_w``).
 """
 
@@ -38,9 +40,15 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
                 b: jnp.ndarray | None = None) -> jnp.ndarray:
     """x (..., Cin) @ int8 w (Cin, Cout) with per-Cout scale (1, Cout).
 
-    XLA fuses the dequant into the matmul read; the Pallas kernel keeps the
-    int8->f32 conversion entirely in VMEM tiles.
+    On TPU routes to the fused Pallas dequant-matmul
+    (``ops/pallas/int8_matmul.py``) — the int8 tile is dequantized in VMEM
+    right before the MXU dot, so HBM streams 1 byte/param. The jnp fallback
+    materializes a dequantized weight (XLA does not fuse producers into dot
+    operands).
     """
+    from . import pallas as pk
+    if pk.enabled():
+        return pk.int8_matmul.int8_matmul(x, w_q, scale, b)
     w = w_q.astype(x.dtype) * scale.astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:

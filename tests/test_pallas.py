@@ -113,3 +113,25 @@ def test_pallas_local_attention_with_bias():
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("M,K,N,bias", [
+    (5, 64, 32, True),       # ragged M (pad/crop path)
+    (512, 128, 576, False),  # qkv geometry at 1kbps
+])
+def test_pallas_int8_matmul_matches_reference(M, K, N, bias):
+    from l3ac_tpu.ops import quantized
+    from l3ac_tpu.ops.pallas import int8_matmul as pk_q
+
+    x = jnp.asarray(RNG.standard_normal((2, M, K)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((K, N)).astype(np.float32)) * 0.05
+    b = (jnp.asarray(RNG.standard_normal((N,)).astype(np.float32))
+         if bias else None)
+    w_q, scale = quantized.quantize_weight(w)
+
+    want = x @ quantized.dequantize_weight(w_q, scale, jnp.float32)
+    if bias:
+        want = want + b
+    got = pk_q.int8_matmul(x, w_q, scale, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -149,6 +149,16 @@ def run_dtype(dtype, run: Runner):
                                     bias=b32)
         run.check(f"local_attention (w={n}, T={T})", got, want, tol)
 
+    # --- int8 fused dequant-matmul (pw1 geometry of the decoder's wide stage)
+    from l3ac_tpu.ops import quantized
+    from l3ac_tpu.ops.pallas import int8_matmul as pk_q
+    w32 = _rand((512, 2048), jnp.float32, scale=0.05)
+    x32 = _rand((2, 600, 512), jnp.float32)
+    w_q, scale = quantized.quantize_weight(w32)
+    want = x32 @ quantized.dequantize_weight(w_q, scale, jnp.float32)
+    got = pk_q.int8_matmul(x32.astype(dtype), w_q, scale)
+    run.check("int8_matmul (M1200,K512,N2048)", got, want, tol)
+
     # --- full model: jit(encode) + jit(decode), 1kbps geometry
     from l3ac_tpu.models import codec as fcodec
     cfg = get_config("1kbps")
