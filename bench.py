@@ -66,7 +66,9 @@ def main():
                     help="longest roundtrip chain length")
     ap.add_argument("--repeats", type=int, default=3,
                     help="slope measurements to median over")
-    ap.add_argument("--warmup", type=int, default=3)  # kept for CLI compat
+    ap.add_argument("--warmup", type=int, default=3,
+                    help="ignored (warmup is implied by compiling every "
+                         "chain length); kept for CLI compatibility")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 

@@ -75,7 +75,9 @@ def instance_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
         s1 = sp.psum_if_active(jnp.sum(xs, axis=1, keepdims=True))
         s2 = sp.psum_if_active(jnp.sum(xs * xs, axis=1, keepdims=True))
         u = s1 / n
-        s = s2 / n - u * u
+        # one-pass variance can go slightly negative from cancellation for
+        # large-mean/low-variance inputs; clamp so sqrt(s + eps) never NaNs
+        s = jnp.maximum(s2 / n - u * u, 0.0)
     else:
         u = jnp.mean(xs, axis=1, keepdims=True)
         s = jnp.mean((xs - u) ** 2, axis=1, keepdims=True)

@@ -88,7 +88,9 @@ def instance_norm_t(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
         s1 = sp.psum_if_active(jnp.sum(xs, axis=2, keepdims=True))
         s2 = sp.psum_if_active(jnp.sum(xs * xs, axis=2, keepdims=True))
         u = s1 / n
-        s = s2 / n - u * u
+        # clamp one-pass variance against catastrophic cancellation (see
+        # norms.instance_norm)
+        s = jnp.maximum(s2 / n - u * u, 0.0)
     else:
         u = jnp.mean(xs, axis=2, keepdims=True)
         s = jnp.mean((xs - u) ** 2, axis=2, keepdims=True)

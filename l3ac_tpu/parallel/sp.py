@@ -91,6 +91,12 @@ def pad_time(x: jnp.ndarray, left: int, right: int, *, axis: int = 1,
         pads[axis] = (left, right)
         return jnp.pad(x, pads, constant_values=fill)
     name = _AXIS[0]
+    # halo exchange reaches only the immediate neighbor; a pad wider than the
+    # per-shard length would silently wrap via negative slice starts
+    if left > x.shape[axis] or right > x.shape[axis]:
+        raise ValueError(
+            f"SP halo ({left},{right}) exceeds per-shard length "
+            f"{x.shape[axis]} on axis {axis}; use more samples per shard")
     n = lax.axis_size(name)
     idx = lax.axis_index(name)
     parts = []

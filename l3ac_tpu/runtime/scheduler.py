@@ -43,8 +43,9 @@ class PyFramer:
         self._rr = 0  # round-robin cursor
 
     def add_stream(self) -> int:
-        self._streams.append({"buf": np.zeros(0, np.float32), "next_chunk": 0,
-                              "finished": False, "done": False})
+        self._streams.append({"buf": np.zeros(0, np.float32), "consumed": 0,
+                              "next_chunk": 0, "finished": False,
+                              "done": False})
         return len(self._streams) - 1
 
     def feed(self, sid: int, samples: np.ndarray) -> None:
@@ -54,26 +55,34 @@ class PyFramer:
                                    np.asarray(samples, np.float32).reshape(-1)])
 
     def finish(self, sid: int) -> None:
-        self._streams[sid]["finished"] = True
-        if len(self._streams[sid]["buf"]) == 0:
-            self._streams[sid]["done"] = True
+        s = self._streams[sid]
+        s["finished"] = True
+        if s["consumed"] + len(s["buf"]) <= s["next_chunk"] * self.chunk_len:
+            s["done"] = True
+
+    @staticmethod
+    def _have(s: dict) -> int:
+        """Total samples ever fed (consumed + still-buffered)."""
+        return s["consumed"] + len(s["buf"])
 
     def _ready_chunk(self, s: dict) -> bool:
         if s["done"]:
             return False
+        have = self._have(s)
         end = (s["next_chunk"] + 1) * self.chunk_len
-        return len(s["buf"]) >= end or (s["finished"]
-                                        and len(s["buf"]) > s["next_chunk"]
-                                        * self.chunk_len)
+        return have >= end or (s["finished"]
+                               and have > s["next_chunk"] * self.chunk_len)
 
     def pending(self) -> int:
+        """Chunk rows ready to emit right now (same contract as the C++
+        ``framer_pending``)."""
         n = 0
         for s in self._streams:
             if s["done"]:
                 continue
-            buffered = len(s["buf"])
-            limit = buffered if s["finished"] else (buffered // self.chunk_len
-                                                    * self.chunk_len)
+            have = self._have(s)
+            limit = have if s["finished"] else (have // self.chunk_len
+                                                * self.chunk_len)
             n += max(0, math.ceil((limit - s["next_chunk"] * self.chunk_len)
                                   / self.chunk_len))
         return n
@@ -93,13 +102,23 @@ class PyFramer:
                 c = s["next_chunk"]
                 start = c * self.chunk_len
                 lo = max(0, start - self.prefix_len)
-                seg = s["buf"][lo:start + self.chunk_len]
+                seg = s["buf"][lo - s["consumed"]:
+                               start + self.chunk_len - s["consumed"]]
                 out[rows, :len(seg)] = seg
                 sids[rows] = sid
                 cids[rows] = c
                 valid[rows] = len(seg)
                 s["next_chunk"] += 1
-                if s["finished"] and s["next_chunk"] * self.chunk_len >= len(s["buf"]):
+                # trim samples no longer needed (keep the next chunk's prefix)
+                # so long-lived streams don't grow memory unboundedly
+                next_lo = max(0, s["next_chunk"] * self.chunk_len
+                              - self.prefix_len)
+                if next_lo > s["consumed"]:
+                    drop = min(next_lo - s["consumed"], len(s["buf"]))
+                    s["buf"] = s["buf"][drop:]
+                    s["consumed"] += drop
+                if s["finished"] and (s["next_chunk"] * self.chunk_len
+                                      >= self._have(s)):
                     s["done"] = True
                 rows += 1
             else:

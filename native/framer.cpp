@@ -142,12 +142,25 @@ int framer_next_batch(Framer* f, float* out, int* stream_ids,
     return rows;
 }
 
-// count of streams that still have (or may have) chunks to emit
+// count of chunk rows ready to emit RIGHT NOW across all streams — the same
+// contract as PyFramer.pending() (l3ac_tpu/runtime/scheduler.py). Counting
+// live streams instead (the round-2 bug) made the scheduler's _pick_lane
+// prefer a lane of idle, unfed streams over a lane with finished work, so
+// drain() returned early with unprocessed chunks.
 int framer_pending(Framer* f) {
-    int n = 0;
-    for (auto& s : f->streams)
-        if (!s.done) n++;
-    return n;
+    int64_t n = 0;
+    for (auto& s : f->streams) {
+        if (s.done) continue;
+        const int64_t have = s.consumed + (int64_t)s.buffer.size();
+        // unfinished streams can only emit full chunks; finished streams also
+        // emit a tail chunk for any new content past the last chunk boundary
+        const int64_t limit =
+            s.finished ? have : (have / f->chunk_len) * f->chunk_len;
+        const int64_t base = s.chunk_index * f->chunk_len;
+        if (limit > base)
+            n += (limit - base + f->chunk_len - 1) / f->chunk_len;
+    }
+    return static_cast<int>(std::min<int64_t>(n, INT32_MAX));
 }
 
 }  // extern "C"
