@@ -54,6 +54,16 @@ def _load():
         ctypes.POINTER(ctypes.c_int64)]
     lib.framer_pending.restype = ctypes.c_int
     lib.framer_pending.argtypes = [ctypes.c_void_p]
+    lib.framer_state_size.restype = ctypes.c_int64
+    lib.framer_state_size.argtypes = [ctypes.c_void_p]
+    lib.framer_save_state.restype = ctypes.c_int64
+    lib.framer_save_state.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_uint8),
+                                      ctypes.c_int64]
+    lib.framer_restore_state.restype = ctypes.c_int
+    lib.framer_restore_state.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_uint8),
+                                         ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -114,3 +124,25 @@ class NativeFramer:
 
     def pending(self) -> int:
         return self._lib.framer_pending(self._h)
+
+    # -- restartable state (kill-and-resume; see framer.cpp) -----------------
+    def save_state(self) -> bytes:
+        """Serialize all framer state (stream buffers, chunk cursors, the
+        round-robin queue) so a restored framer reproduces identical batches."""
+        n = self._lib.framer_state_size(self._h)
+        buf = np.zeros(n, np.uint8)
+        wrote = self._lib.framer_save_state(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+        if wrote != n:
+            raise RuntimeError(f"framer_save_state wrote {wrote}, expected {n}")
+        return buf.tobytes()
+
+    def restore_state(self, data: bytes) -> None:
+        """Restore state saved by :meth:`save_state` into this framer. The
+        framer must have the same chunk_len/prefix_len/batch configuration."""
+        buf = np.frombuffer(data, np.uint8)
+        rc = self._lib.framer_restore_state(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size)
+        if rc != 0:
+            raise ValueError(f"framer_restore_state failed: {rc}")

@@ -126,6 +126,46 @@ class PyFramer:
         self._rr = (self._rr + 1) % max(1, n)
         return rows, out, sids, cids, valid
 
+    # -- restartable state (same contract as NativeFramer.save_state) -------
+    _STATE_MAGIC = b"L3ACFRP1"
+
+    def save_state(self) -> bytes:
+        """Serialize all framer state (buffers, chunk cursors, the round-robin
+        cursor) so a restored framer reproduces identical batches."""
+        import struct
+        parts = [self._STATE_MAGIC,
+                 struct.pack("<5q", self.chunk_len, self.prefix_len,
+                             self.batch, self._rr, len(self._streams))]
+        for s in self._streams:
+            parts.append(struct.pack("<5q", s["consumed"], s["next_chunk"],
+                                     int(s["finished"]), int(s["done"]),
+                                     len(s["buf"])))
+            parts.append(np.asarray(s["buf"], np.float32).tobytes())
+        return b"".join(parts)
+
+    def restore_state(self, data: bytes) -> None:
+        import struct
+        if data[:8] != self._STATE_MAGIC:
+            raise ValueError("not a PyFramer state blob")
+        ofs = 8
+        chunk_len, prefix_len, batch, rr, n = struct.unpack_from("<5q", data, ofs)
+        ofs += 40
+        if (chunk_len, prefix_len, batch) != (self.chunk_len, self.prefix_len,
+                                              self.batch):
+            raise ValueError("state from a differently-configured framer")
+        streams = []
+        for _ in range(n):
+            consumed, next_chunk, finished, done, blen = struct.unpack_from(
+                "<5q", data, ofs)
+            ofs += 40
+            buf = np.frombuffer(data, np.float32, count=blen, offset=ofs).copy()
+            ofs += blen * 4
+            streams.append({"buf": buf, "consumed": consumed,
+                            "next_chunk": next_chunk,
+                            "finished": bool(finished), "done": bool(done)})
+        self._streams = streams
+        self._rr = rr
+
 
 def _make_framer(chunk_len: int, prefix_len: int, batch: int,
                  use_native: bool | None):

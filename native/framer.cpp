@@ -163,4 +163,104 @@ int framer_pending(Framer* f) {
     return static_cast<int>(std::min<int64_t>(n, INT32_MAX));
 }
 
+// ---------------------------------------------------------------------------
+// State serialization — restartable scheduler state (kill-and-resume must
+// reproduce identical batches, so the round-robin queue order is part of the
+// state). Little-endian int64 header/fields; float payload as raw IEEE-754.
+//
+// Layout: magic, version, chunk_len, prefix_len, batch, n_streams,
+//         per stream [consumed, chunk_index, finished, done, buf_len,
+//                     buf floats...],
+//         ready_len, ready ids...
+
+static constexpr int64_t kMagic = 0x4c33414346524d31;  // "L3ACFRM1"
+static constexpr int64_t kVersion = 1;
+
+int64_t framer_state_size(Framer* f) {
+    int64_t n = 6 * (int64_t)sizeof(int64_t);
+    for (auto& s : f->streams)
+        n += 5 * (int64_t)sizeof(int64_t) + (int64_t)s.buffer.size() * sizeof(float);
+    n += (int64_t)sizeof(int64_t) * (1 + (int64_t)f->ready.size());
+    return n;
+}
+
+namespace {
+inline void put_i64(uint8_t*& p, int64_t v) {
+    std::memcpy(p, &v, sizeof(v));
+    p += sizeof(v);
+}
+inline bool get_i64(const uint8_t*& p, const uint8_t* end, int64_t* v) {
+    if (p + sizeof(*v) > end) return false;
+    std::memcpy(v, p, sizeof(*v));
+    p += sizeof(*v);
+    return true;
+}
+}  // namespace
+
+int64_t framer_save_state(Framer* f, uint8_t* buf, int64_t cap) {
+    const int64_t need = framer_state_size(f);
+    if (cap < need) return -1;
+    uint8_t* p = buf;
+    put_i64(p, kMagic);
+    put_i64(p, kVersion);
+    put_i64(p, f->chunk_len);
+    put_i64(p, f->prefix_len);
+    put_i64(p, f->batch);
+    put_i64(p, (int64_t)f->streams.size());
+    for (auto& s : f->streams) {
+        put_i64(p, s.consumed);
+        put_i64(p, s.chunk_index);
+        put_i64(p, s.finished ? 1 : 0);
+        put_i64(p, s.done ? 1 : 0);
+        put_i64(p, (int64_t)s.buffer.size());
+        const int64_t nb = (int64_t)s.buffer.size() * sizeof(float);
+        std::memcpy(p, s.buffer.data(), nb);
+        p += nb;
+    }
+    put_i64(p, (int64_t)f->ready.size());
+    for (int id : f->ready) put_i64(p, id);
+    return p - buf;
+}
+
+int framer_restore_state(Framer* f, const uint8_t* buf, int64_t n) {
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    int64_t magic, version, chunk_len, prefix_len, batch, n_streams;
+    if (!get_i64(p, end, &magic) || magic != kMagic) return -1;
+    if (!get_i64(p, end, &version) || version != kVersion) return -2;
+    if (!get_i64(p, end, &chunk_len) || !get_i64(p, end, &prefix_len) ||
+        !get_i64(p, end, &batch))
+        return -3;
+    if (chunk_len != f->chunk_len || prefix_len != f->prefix_len ||
+        batch != f->batch)
+        return -4;  // state from a differently-configured framer
+    if (!get_i64(p, end, &n_streams) || n_streams < 0) return -3;
+    std::vector<Stream> streams((size_t)n_streams);
+    for (auto& s : streams) {
+        int64_t finished, done, buf_len;
+        if (!get_i64(p, end, &s.consumed) || !get_i64(p, end, &s.chunk_index) ||
+            !get_i64(p, end, &finished) || !get_i64(p, end, &done) ||
+            !get_i64(p, end, &buf_len) || buf_len < 0)
+            return -3;
+        const int64_t nb = buf_len * (int64_t)sizeof(float);
+        if (p + nb > end) return -3;
+        s.buffer.resize((size_t)buf_len);
+        std::memcpy(s.buffer.data(), p, nb);
+        p += nb;
+        s.finished = finished != 0;
+        s.done = done != 0;
+    }
+    int64_t ready_len;
+    if (!get_i64(p, end, &ready_len) || ready_len < 0) return -3;
+    std::deque<int> ready;
+    for (int64_t i = 0; i < ready_len; i++) {
+        int64_t id;
+        if (!get_i64(p, end, &id) || id < 0 || id >= n_streams) return -3;
+        ready.push_back((int)id);
+    }
+    f->streams = std::move(streams);
+    f->ready = std::move(ready);
+    return 0;
+}
+
 }  // extern "C"

@@ -62,6 +62,58 @@ def test_incremental_feed_equals_bulk():
         np.testing.assert_array_equal(g, np.asarray(w))
 
 
+def test_save_restore_mid_flight_reproduces_batches():
+    """Kill-and-resume: state saved mid-drain and restored into a FRESH framer
+    must reproduce the exact remaining batch sequence (contents AND order —
+    the round-robin queue is part of the state)."""
+    lengths = [1000, 310, 2711, 90, 766]
+    datas = [RNG.standard_normal(n).astype(np.float32) for n in lengths]
+
+    def fresh():
+        f = native.NativeFramer(chunk_len=300, prefix_len=30, batch=3)
+        for d in datas:
+            sid = f.add_stream()
+            f.feed(sid, d)
+            f.finish(sid)
+        return f
+
+    def drain_seq(f):
+        seq = []
+        while f.pending():
+            rows, batch, sids, cids, valid = f.next_batch()
+            if rows == 0:
+                break
+            seq.append((rows, batch.copy(), sids.copy(), cids.copy(),
+                        valid.copy()))
+        return seq
+
+    ref = drain_seq(fresh())
+
+    f1 = fresh()
+    for _ in range(2):                         # process two batches, then "die"
+        f1.next_batch()
+    blob = f1.save_state()
+    del f1
+    f2 = native.NativeFramer(chunk_len=300, prefix_len=30, batch=3)
+    f2.restore_state(blob)
+    resumed = drain_seq(f2)
+
+    assert len(resumed) == len(ref) - 2
+    for got, want in zip(resumed, ref[2:]):
+        assert got[0] == want[0]
+        for g, w in zip(got[1:], want[1:]):
+            np.testing.assert_array_equal(g, w)
+
+
+def test_restore_rejects_mismatched_config():
+    f = native.NativeFramer(chunk_len=300, prefix_len=30, batch=3)
+    f.add_stream()
+    blob = f.save_state()
+    other = native.NativeFramer(chunk_len=200, prefix_len=30, batch=3)
+    with pytest.raises(ValueError):
+        other.restore_state(blob)
+
+
 def test_many_streams_round_robin():
     lengths = [1000, 310, 2711, 90]
     datas = [RNG.standard_normal(n).astype(np.float32) for n in lengths]

@@ -198,7 +198,10 @@ def test_sp_codec_matches_single_device_1kbps_geometry():
     q2, idx2 = jax.jit(lambda p, a: fcodec.encode_sp(p, a, mc, mesh))(params, audio)
     y2 = jax.jit(lambda p, q: fcodec.decode_sp(p, q, mc, mesh))(params, q2)
     np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=1e-5)
+    # atol sits just above the fp32 noise floor of the 17-layer decoder: XLA's
+    # fusion choices vary with jit-cache state (suite vs isolated run), moving
+    # a handful of elements by ~1e-5 while indices stay bit-equal
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4, atol=5e-5)
 
 
 def test_sharded_train_step_runs():

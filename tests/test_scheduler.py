@@ -123,6 +123,44 @@ def test_pyframer_trims_consumed_samples():
     assert f._streams[sid]["consumed"] + len(f._streams[sid]["buf"]) == total
 
 
+def test_pyframer_save_restore_mid_flight():
+    """PyFramer kill-and-resume reproduces the exact remaining batch sequence
+    (round-robin cursor included)."""
+    datas = [(RNG.standard_normal(n) * 0.5).astype(np.float32)
+             for n in (500, 130, 977, 260)]
+
+    def fresh():
+        f = PyFramer(120, 24, batch=3)
+        for d in datas:
+            sid = f.add_stream()
+            f.feed(sid, d)
+            f.finish(sid)
+        return f
+
+    def drain_seq(f):
+        seq = []
+        while f.pending():
+            rows, batch, sids, cids, valid = f.next_batch()
+            if rows == 0:
+                break
+            seq.append((rows, batch.copy(), sids.copy(), cids.copy(),
+                        valid.copy()))
+        return seq
+
+    ref = drain_seq(fresh())
+    f1 = fresh()
+    f1.next_batch()
+    blob = f1.save_state()
+    f2 = PyFramer(120, 24, batch=3)
+    f2.restore_state(blob)
+    resumed = drain_seq(f2)
+    assert len(resumed) == len(ref) - 1
+    for got, want in zip(resumed, ref[1:]):
+        assert got[0] == want[0]
+        for g, w in zip(got[1:], want[1:]):
+            np.testing.assert_array_equal(g, w)
+
+
 def test_pyframer_matches_native_framer():
     from l3ac_tpu.runtime import native as native_mod
     if not native_mod.available():
