@@ -1,14 +1,15 @@
 """Mixed-config continuous-batching scheduler (BASELINE.json configs 3 & 5).
 
-Serves streams of DIFFERENT lengths and DIFFERENT checkpoints (e.g. 1kbps and
-3kbps) concurrently: one compiled fixed-shape program per config (XLA wants
-static shapes — reference semantics from the sequential batch-1 chunk loop at
-``l3ac/codec.py:124-156``), one shared host loop. Streams arrive (``submit`` /
-``feed``) and depart (tokens collected) at any time; every device step packs up
-to ``batch_size`` pending chunk-rows of ONE config — chunks of different
-streams and different chunk positions batch together (continuous batching), so
-a late-arriving stream's first chunk rides in the same MXU batch as an old
-stream's tenth.
+Serves encode AND decode streams of DIFFERENT lengths and DIFFERENT
+checkpoints (e.g. 1kbps and 3kbps) concurrently: one compiled fixed-shape
+program per (config, direction) lane (XLA wants static shapes — reference
+semantics from the sequential batch-1 chunk loop at ``l3ac/codec.py:124-156``),
+one shared host loop. Streams arrive (``submit`` / ``submit_decode`` /
+``feed``) and depart (tokens/audio collected) at any time; every device step
+packs up to ``batch_size`` pending chunk-rows of ONE lane — chunks of
+different streams and different chunk positions batch together (continuous
+batching), so a late-arriving stream's first chunk rides in the same MXU batch
+as an old stream's tenth.
 
 Host-side chunk assembly goes through the C++ framer
 (``native/framer.cpp``) when built, with a pure-python framer fallback of
@@ -178,106 +179,199 @@ def _make_framer(chunk_len: int, prefix_len: int, batch: int,
 
 
 @dataclass
-class _ConfigLane:
-    """Per-config compiled program + framer + live stream bookkeeping."""
+class _Lane:
+    """One (config, direction) compiled program + framer + live streams.
+
+    ``kind``: ``"enc"`` (audio -> FSQ indices), ``"dec_idx"`` (indices ->
+    audio), ``"dec_feat"`` (quantized features -> audio). Decode lanes ride
+    the SAME float32 framer as encode: FSQ indices are exact in float32 (all
+    released codebooks < 2^24) and (T, C) features flatten row-major with a
+    C-multiple chunk grid, so chunk boundaries always align to whole frames.
+    """
     model: object
     framer: object
     hop: int
+    kind: str
+    width: int = 1                                 # flattened units per token
     tok_prefix: int = 1
-    handles: dict = field(default_factory=dict)   # local sid -> global handle
+    handles: dict = field(default_factory=dict)    # local sid -> global handle
+    run: object = None                             # jitted program
+    last_served: int = 0                           # for lane aging
 
 
 @dataclass
 class _Stream:
-    config: str
+    lane: str                                      # lane key "config:kind"
     sid: int                                       # framer-local stream id
-    tokens: dict = field(default_factory=dict)     # chunk id -> token array
-    fed: int = 0                                   # samples fed (pre-pad)
+    out: dict = field(default_factory=dict)        # chunk id -> tokens/audio
+    fed: int = 0                                   # units fed (samples/tokens)
     expected_chunks: int | None = None             # known after finish()
     padded_len: int = 0
+    length: int | None = None                      # decode: output crop
 
     @property
     def done(self) -> bool:
         return (self.expected_chunks is not None
-                and len(self.tokens) == self.expected_chunks)
+                and len(self.out) == self.expected_chunks)
 
 
 class CodecServer:
-    """Continuous-batching encode server over multiple model configs.
+    """Continuous-batching encode AND decode server over multiple configs.
 
-    ``models``: {name: zoo model (has .params, .mc, .config)}. One jitted
-    encode program per config; chunk shape = ``chunk_seconds`` rounded down to
-    a hop multiple per config, plus a 1-hop prefix (ChunkData semantics).
+    ``models``: {name: zoo model (has .params, .mc, .config)}. Three lanes per
+    config (encode / decode-from-indices / decode-from-features), each with its
+    own framer and compiled program; one shared host loop packs up to
+    ``batch_size`` pending chunk-rows of ONE lane per device step. Chunk shape
+    = ``chunk_seconds`` rounded down to a hop multiple, plus a 1-hop prefix
+    (ChunkData semantics; reference serves both directions at
+    ``l3ac/codec.py:113-156``).
+
+    Decode chunks are shape-exact: interior rows run the fixed-size program;
+    first/tail rows run at their exact token length (the decoder's
+    InstanceNorm is global over time, so zero-padding would perturb the whole
+    chunk — see ``streaming.decode_streams``). Rows of every exact-shape
+    bucket are padded to ``batch_size`` so the compile count stays bounded by
+    the number of distinct tail lengths.
     """
 
     def __init__(self, models: dict, *, chunk_seconds: float = 5.0,
-                 batch_size: int = 8, use_native: bool | None = None):
+                 batch_size: int = 8, use_native: bool | None = None,
+                 aging_steps: int = 8):
         self.batch_size = batch_size
-        self.lanes: dict[str, _ConfigLane] = {}
+        self.aging_steps = aging_steps
+        self.lanes: dict[str, _Lane] = {}
         self.streams: dict[int, _Stream] = {}
         self._next_handle = 0
+        self._steps = 0
+        self._models = models
+        self._chunk_seconds = chunk_seconds
+        self._use_native = use_native
         for name, model in models.items():
             mc = model.mc
             hop = mc.hop_length
             sr = model.config.sample_rate
             chunk_len = max(hop, int(chunk_seconds * sr) // hop * hop)
-            lane = _ConfigLane(
-                model=model,
-                framer=_make_framer(chunk_len, hop, batch_size, use_native),
-                hop=hop)
-            lane.encode = jax.jit(partial(fcodec.encode, mc=mc))
-            self.lanes[name] = lane
+            tok_chunk = chunk_len // hop
+            if tok_chunk < 2:
+                raise ValueError(
+                    f"{name}: chunk_seconds={chunk_seconds} gives a "
+                    f"{tok_chunk}-token chunk; decode lanes need >= 2 tokens "
+                    f"per chunk (hop {hop} @ {sr} Hz)")
+            C = mc.feature_dim
+
+            enc = _Lane(model=model, hop=hop, kind="enc",
+                        framer=_make_framer(chunk_len, hop, batch_size,
+                                            use_native))
+            enc.run = jax.jit(partial(fcodec.encode, mc=mc))
+            self.lanes[f"{name}:enc"] = enc
+
+            di = _Lane(model=model, hop=hop, kind="dec_idx",
+                       framer=_make_framer(tok_chunk, 1, batch_size,
+                                           use_native))
+            di.run = jax.jit(partial(fcodec.decode_indices, mc=mc))
+            self.lanes[f"{name}:dec_idx"] = di
+
+            df = _Lane(model=model, hop=hop, kind="dec_feat", width=C,
+                       framer=_make_framer(tok_chunk * C, C, batch_size,
+                                           use_native))
+            df.run = jax.jit(partial(fcodec.decode, mc=mc))
+            self.lanes[f"{name}:dec_feat"] = df
 
     # -- stream lifecycle ---------------------------------------------------
-    def submit(self, config: str, audio: np.ndarray | None = None) -> int:
-        """Register a new stream on ``config``; optionally feed+finish its
-        whole audio at once. Returns a handle for :meth:`tokens`."""
-        lane = self.lanes[config]
+    def _new_stream(self, lane_key: str, length: int | None = None) -> int:
+        lane = self.lanes[lane_key]
         sid = lane.framer.add_stream()
         handle = self._next_handle
         self._next_handle += 1
-        st = _Stream(config=config, sid=sid)
-        self.streams[handle] = st
+        self.streams[handle] = _Stream(lane=lane_key, sid=sid, length=length)
         lane.handles[sid] = handle
+        return handle
+
+    def submit(self, config: str, audio: np.ndarray | None = None) -> int:
+        """Register a new encode stream on ``config``; optionally feed+finish
+        its whole audio at once. Returns a handle for :meth:`tokens`."""
+        handle = self._new_stream(f"{config}:enc")
         if audio is not None:
             self.feed(handle, audio)
             self.finish(handle)
         return handle
 
-    def feed(self, handle: int, samples: np.ndarray) -> None:
+    def submit_decode(self, config: str, *, indices: np.ndarray | None = None,
+                      features: np.ndarray | None = None,
+                      length: int | None = None) -> int:
+        """Register a decode stream on ``config`` (reference ``decompress`` /
+        ``decode_unit``, ``l3ac/codec.py:118-122,149-156``). Feed FSQ indices
+        OR quantized features (exactly one source per stream); ``length``
+        crops the reassembled audio. Returns a handle for :meth:`audio`."""
+        assert (indices is None) != (features is None), \
+            "pass exactly one of indices/features (or neither + feed later)"
+        kind = "dec_idx" if features is None else "dec_feat"
+        handle = self._new_stream(f"{config}:{kind}", length=length)
+        data = indices if features is None else features
+        if data is not None:
+            self.feed(handle, data)
+            self.finish(handle)
+        return handle
+
+    def feed(self, handle: int, data: np.ndarray) -> None:
+        """Append stream content: audio samples (encode), int indices
+        (dec_idx), or (T, C) features (dec_feat)."""
         st = self.streams[handle]
-        lane = self.lanes[st.config]
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        st.fed += len(samples)
-        lane.framer.feed(st.sid, samples)
+        lane = self.lanes[st.lane]
+        if lane.kind == "dec_feat":
+            data = np.asarray(data, np.float32)
+            assert data.ndim == 2 and data.shape[1] == lane.width, \
+                f"features must be (T, {lane.width})"
+            st.fed += data.shape[0]
+            lane.framer.feed(st.sid, data.reshape(-1))
+        elif lane.kind == "dec_idx":
+            data = np.asarray(data).reshape(-1)
+            st.fed += len(data)
+            # float32 is exact for all released codebooks (< 2^24)
+            lane.framer.feed(st.sid, data.astype(np.float32))
+        else:
+            data = np.asarray(data, np.float32).reshape(-1)
+            st.fed += len(data)
+            lane.framer.feed(st.sid, data)
 
     def finish(self, handle: int) -> None:
-        """No more samples will arrive; right-pad to a hop multiple (reference
-        preprocess, ``l3ac/codec.py:79-84``) and mark the expected chunk count."""
+        """No more content will arrive. Encode streams right-pad to a hop
+        multiple (reference preprocess, ``l3ac/codec.py:79-84``); decode
+        streams need no padding (token grid is exact)."""
         st = self.streams[handle]
         assert st.fed > 0, "cannot finish an empty stream"
-        lane = self.lanes[st.config]
-        pad = math.ceil(st.fed / lane.hop) * lane.hop - st.fed
-        if pad:
-            lane.framer.feed(st.sid, np.zeros(pad, np.float32))
-        st.padded_len = st.fed + pad
+        lane = self.lanes[st.lane]
+        if lane.kind == "enc":
+            pad = math.ceil(st.fed / lane.hop) * lane.hop - st.fed
+            if pad:
+                lane.framer.feed(st.sid, np.zeros(pad, np.float32))
+            st.padded_len = st.fed + pad
+        else:
+            st.padded_len = st.fed * lane.width
         lane.framer.finish(st.sid)
         st.expected_chunks = max(1, math.ceil(st.padded_len
                                               / lane.framer.chunk_len))
 
     # -- scheduling ---------------------------------------------------------
     def _pick_lane(self) -> str | None:
-        """Config with the most pending chunk-rows (keeps batches full)."""
-        best, best_n = None, 0
-        for name, lane in self.lanes.items():
-            n = lane.framer.pending()
-            if n > best_n:
-                best, best_n = name, n
-        return best
+        """Lane with the most pending chunk-rows (keeps batches full), except
+        that a ready lane unserved for ``aging_steps`` device steps wins
+        outright — so sustained load on one lane cannot starve another."""
+        ready = [(name, lane.framer.pending())
+                 for name, lane in self.lanes.items()]
+        ready = [(name, n) for name, n in ready if n > 0]
+        if not ready:
+            return None
+        starved = [name for name, _ in ready
+                   if self._steps - self.lanes[name].last_served
+                   >= self.aging_steps]
+        if starved:
+            return min(starved, key=lambda n: self.lanes[n].last_served)
+        return max(ready, key=lambda x: x[1])[0]
 
     def step(self) -> bool:
-        """Run ONE fixed-shape device batch for the fullest config. Returns
-        False when no work is pending."""
+        """Run ONE device batch for the chosen lane. Returns False when no
+        work is pending anywhere."""
         name = self._pick_lane()
         if name is None:
             return False
@@ -285,7 +379,16 @@ class CodecServer:
         rows, batch, sids, cids, valid = lane.framer.next_batch()
         if rows == 0:
             return False
-        _, idx = lane.encode(lane.model.params, jnp.asarray(batch))
+        self._steps += 1
+        lane.last_served = self._steps
+        if lane.kind == "enc":
+            self._step_encode(lane, rows, batch, sids, cids, valid)
+        else:
+            self._step_decode(lane, rows, batch, sids, cids, valid)
+        return True
+
+    def _step_encode(self, lane, rows, batch, sids, cids, valid):
+        _, idx = lane.run(lane.model.params, jnp.asarray(batch))
         idx = np.asarray(idx)
         for r in range(rows):
             st = self.streams[lane.handles[int(sids[r])]]
@@ -294,8 +397,32 @@ class CodecServer:
             toks = idx[r][:n_tok]
             if c > 0:
                 toks = toks[lane.tok_prefix:]
-            st.tokens[c] = toks
-        return True
+            st.out[c] = toks
+
+    def _step_decode(self, lane, rows, batch, sids, cids, valid):
+        # bucket rows by exact valid length: interior rows share the fixed
+        # shape; first/tail rows compile once per distinct length
+        buckets: dict[int, list[int]] = {}
+        for r in range(rows):
+            buckets.setdefault(int(valid[r]), []).append(r)
+        for v, rs in buckets.items():
+            n_tok = v // lane.width
+            x = batch[rs][:, :v]
+            if len(rs) < self.batch_size:     # row-pad: bounded compile count
+                x = np.concatenate(
+                    [x, np.zeros((self.batch_size - len(rs), v), np.float32)])
+            if lane.kind == "dec_idx":
+                xin = jnp.asarray(x.astype(np.int32))
+            else:
+                xin = jnp.asarray(x.reshape(x.shape[0], n_tok, lane.width))
+            audio = np.asarray(lane.run(lane.model.params, xin))
+            for j, r in enumerate(rs):
+                st = self.streams[lane.handles[int(sids[r])]]
+                c = int(cids[r])
+                a = audio[j]
+                if c > 0:
+                    a = a[lane.tok_prefix * lane.hop:]
+                st.out[c] = a
 
     def drain(self) -> None:
         while self.step():
@@ -307,5 +434,13 @@ class CodecServer:
 
     def tokens(self, handle: int) -> np.ndarray:
         st = self.streams[handle]
+        assert st.lane.endswith(":enc"), "tokens() is for encode streams"
         assert st.done, "stream not finished/processed; call drain() or step()"
-        return np.concatenate([st.tokens[c] for c in sorted(st.tokens)])
+        return np.concatenate([st.out[c] for c in sorted(st.out)])
+
+    def audio(self, handle: int) -> np.ndarray:
+        st = self.streams[handle]
+        assert not st.lane.endswith(":enc"), "audio() is for decode streams"
+        assert st.done, "stream not finished/processed; call drain() or step()"
+        out = np.concatenate([st.out[c] for c in sorted(st.out)])
+        return out[:st.length] if st.length is not None else out

@@ -49,6 +49,7 @@ class StreamCodec:
         mc = self.mc
         self._encode = jax.jit(partial(fcodec.encode, mc=mc))
         self._decode = jax.jit(partial(fcodec.decode, mc=mc))
+        self._decode_idx = jax.jit(partial(fcodec.decode_indices, mc=mc))
 
     # -- encode ------------------------------------------------------------
     def encode_streams(self, audios: list[np.ndarray],
@@ -154,16 +155,29 @@ class StreamCodec:
         chunk — unlike the encoder, where trailing zeros are provably
         transparent (causal attention + per-position norms).
         """
+        return self._decode_grouped(
+            [np.asarray(f, np.float32) for f in features], lengths,
+            self._decode)
+
+    def decode_indices_streams(self, indices: list[np.ndarray],
+                               lengths: list[int] | None = None
+                               ) -> list[np.ndarray]:
+        """Decode per-stream FSQ index arrays (T_i,) back to audio — the
+        token-domain twin of :meth:`decode_streams` (reference ``decode_unit``
+        indices path, ``l3ac/codec.py:149-156``)."""
+        return self._decode_grouped(
+            [np.asarray(i, np.int32) for i in indices], lengths,
+            self._decode_idx)
+
+    def _decode_grouped(self, arrays: list[np.ndarray], lengths, fn):
         hop = self.mc.hop_length
         tok_in = self.tok_prefix + self.tok_chunk
-        n_chunks = [max(1, math.ceil(len(f) / self.tok_chunk)) for f in features]
-        total = max(n_chunks)
-        outs = [[None] * n_chunks[i] for i in range(len(features))]
+        n_chunks = [max(1, math.ceil(len(f) / self.tok_chunk)) for f in arrays]
+        outs = [[None] * n_chunks[i] for i in range(len(arrays))]
 
         # gather all (stream, chunk) segments, grouped by segment token length
         groups: dict[int, list] = {}
-        for i, f in enumerate(features):
-            f = np.asarray(f, np.float32)
+        for i, f in enumerate(arrays):
             for c in range(n_chunks[i]):
                 start = c * self.tok_chunk
                 lo = max(0, start - self.tok_prefix)
@@ -174,13 +188,11 @@ class StreamCodec:
             for ofs in range(0, len(items), self.batch_size):
                 batch = items[ofs:ofs + self.batch_size]
                 x = np.stack([seg for (_, _, _, seg) in batch])
-                pad_rows = 0
                 if seg_len == tok_in and len(batch) < self.batch_size:
                     pad_rows = self.batch_size - len(batch)
                     x = np.concatenate(
-                        [x, np.zeros((pad_rows, *x.shape[1:]), np.float32)])
-                audio = np.asarray(self._decode(self.model.params,
-                                                jnp.asarray(x)))
+                        [x, np.zeros((pad_rows, *x.shape[1:]), x.dtype)])
+                audio = np.asarray(fn(self.model.params, jnp.asarray(x)))
                 for r, (i, c, pre, _) in enumerate(batch):
                     outs[i][c] = audio[r][pre * hop:]
 
