@@ -48,7 +48,8 @@ def multihost_mesh(sp: int = 1, tp: int = 1) -> Mesh:
 
 
 def barrier(name: str = "l3ac_tpu_barrier") -> None:
-    """Cross-host barrier (used by the restartable stream scheduler between
+    """Cross-host barrier (used by the restartable stream scheduler —
+    ``runtime.scheduler.CodecServer.save_state``/``restore_state`` — between
     checkpointed scheduling epochs)."""
     if jax.process_count() == 1:
         return

@@ -444,3 +444,65 @@ class CodecServer:
         assert st.done, "stream not finished/processed; call drain() or step()"
         out = np.concatenate([st.out[c] for c in sorted(st.out)])
         return out[:st.length] if st.length is not None else out
+
+    # -- restartable server state (minimal elastic recovery, SURVEY §5) -----
+    def save_state(self) -> bytes:
+        """Serialize ALL server state — framer buffers, stream bookkeeping,
+        produced tokens/audio, the scheduling counters — so a killed server
+        restored on the same models resumes mid-flight and produces identical
+        results. Compiled programs are NOT state (XLA recompiles/caches)."""
+        import io
+        import json
+        arrays: dict[str, np.ndarray] = {}
+        meta = {"next_handle": self._next_handle, "steps": self._steps,
+                "batch_size": self.batch_size,
+                "chunk_seconds": self._chunk_seconds,
+                "lanes": {}, "streams": {}}
+        for name, lane in self.lanes.items():
+            meta["lanes"][name] = {
+                "last_served": lane.last_served,
+                "handles": {str(k): v for k, v in lane.handles.items()}}
+            arrays[f"framer::{name}"] = np.frombuffer(
+                lane.framer.save_state(), np.uint8)
+        for h, st in self.streams.items():
+            meta["streams"][str(h)] = {
+                "lane": st.lane, "sid": st.sid, "fed": st.fed,
+                "expected_chunks": st.expected_chunks,
+                "padded_len": st.padded_len, "length": st.length,
+                "chunks": sorted(st.out)}
+            for c in st.out:
+                arrays[f"out::{h}::{c}"] = st.out[c]
+        buf = io.BytesIO()
+        np.savez(buf, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+                 **arrays)
+        return buf.getvalue()
+
+    def restore_state(self, data: bytes) -> None:
+        """Restore :meth:`save_state` output into a freshly-constructed server
+        over the SAME models (same configs, same batch/chunk geometry, same
+        ``use_native`` setting — framer blobs are implementation-specific)."""
+        import io
+        import json
+        with np.load(io.BytesIO(data)) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            if set(meta["lanes"]) != set(self.lanes):
+                raise ValueError(
+                    f"lane mismatch: saved {sorted(meta['lanes'])} vs "
+                    f"constructed {sorted(self.lanes)}")
+            if meta["batch_size"] != self.batch_size:
+                raise ValueError("batch_size mismatch")
+            self._next_handle = meta["next_handle"]
+            self._steps = meta["steps"]
+            for name, lm in meta["lanes"].items():
+                lane = self.lanes[name]
+                lane.last_served = lm["last_served"]
+                lane.handles = {int(k): v for k, v in lm["handles"].items()}
+                lane.framer.restore_state(z[f"framer::{name}"].tobytes())
+            self.streams = {}
+            for hs, sm in meta["streams"].items():
+                h = int(hs)
+                st = _Stream(lane=sm["lane"], sid=sm["sid"], fed=sm["fed"],
+                             expected_chunks=sm["expected_chunks"],
+                             padded_len=sm["padded_len"], length=sm["length"])
+                st.out = {c: z[f"out::{h}::{c}"] for c in sm["chunks"]}
+                self.streams[h] = st

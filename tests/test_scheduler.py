@@ -160,6 +160,58 @@ def test_lane_aging_prevents_starvation():
     assert served_at is not None and served_at <= 4, served_at
 
 
+@pytest.mark.parametrize("use_native", [False, None])
+def test_server_kill_and_resume_mid_flight(use_native):
+    """Restartable scheduler state (VERDICT r2 missing #5): save mid-flight,
+    restore into a fresh server over the same models, drain — tokens and audio
+    are identical to an uninterrupted run."""
+    from l3ac_tpu.runtime import native as native_mod
+    if use_native is None and not native_mod.available():
+        pytest.skip("native framer unavailable")
+    models = _models()
+    streams = [("debug", _audio(0.31)), ("tiny3k", _audio(0.26)),
+               ("debug", _audio(0.52))]
+
+    def submit_all(server):
+        enc = [server.submit(cfg, a) for cfg, a in streams]
+        dec = server.submit_decode(
+            "tiny3k", indices=np.arange(40) % 17, length=None)
+        return enc, dec
+
+    ref = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=4,
+                      use_native=use_native)
+    enc_r, dec_r = submit_all(ref)
+    ref.drain()
+
+    s1 = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=4,
+                     use_native=use_native)
+    enc_1, dec_1 = submit_all(s1)
+    for _ in range(3):                  # partial progress, then "kill"
+        s1.step()
+    blob = s1.save_state()
+    del s1
+
+    s2 = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=4,
+                     use_native=use_native)
+    s2.restore_state(blob)
+    s2.drain()
+    for h_ref, h in zip(enc_r, enc_1):
+        np.testing.assert_array_equal(s2.tokens(h), ref.tokens(h_ref))
+    np.testing.assert_allclose(s2.audio(dec_1), ref.audio(dec_r),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_restore_rejects_mismatched_server():
+    models = _models()
+    s1 = CodecServer({"debug": models["debug"]}, chunk_seconds=CHUNK_SECONDS,
+                     batch_size=4, use_native=False)
+    blob = s1.save_state()
+    s2 = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=4,
+                     use_native=False)
+    with pytest.raises(ValueError):
+        s2.restore_state(blob)
+
+
 def test_incremental_feed_matches_one_shot():
     models = _models()
     audio = _audio(0.5)
