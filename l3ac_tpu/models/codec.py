@@ -140,6 +140,9 @@ def encode_sp(params: dict, audio: jnp.ndarray, mc: ModelConfig, mesh, *,
         body, mesh=mesh,
         in_specs=(P(), P(batch_axis, axis_name)),
         out_specs=(P(batch_axis, axis_name, None), P(batch_axis, axis_name)),
+        # the Pallas kernels' out_shapes carry no vma annotations; collectives
+        # are hand-placed (parallel.sp), so the varying-axis checker is off
+        check_vma=False,
     )(params, audio)
 
 
@@ -168,6 +171,7 @@ def decode_sp(params: dict, q_trans_feature: jnp.ndarray, mc: ModelConfig,
         body, mesh=mesh,
         in_specs=(P(), P(batch_axis, axis_name, None)),
         out_specs=P(batch_axis, axis_name),
+        check_vma=False,
     )(params, q_trans_feature)
 
 
@@ -193,6 +197,7 @@ def decode_indices_sp(params: dict, indices: jnp.ndarray, mc: ModelConfig,
         body, mesh=mesh,
         in_specs=(P(), P(batch_axis, axis_name)),
         out_specs=P(batch_axis, axis_name),
+        check_vma=False,
     )(params, indices)
 
 

@@ -116,8 +116,17 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
     if mc.decoder_last_layer == "legacy":
         if pk.enabled():
             # whole tail (3 legacy units + snake + out conv + tanh) fused
-            return pk.legacy_tail.legacy_tail_ct(h, p["tail_units"],
-                                                 p["tail_alpha"], p["out_conv"])
+            from ..parallel import sp
+            if sp.active():
+                th = pk.legacy_tail.HALO
+                lh, rh = sp.halo_blocks(h, th, th, axis=2)
+                return pk.legacy_tail.legacy_tail_ct(
+                    h, p["tail_units"], p["tail_alpha"], p["out_conv"],
+                    lh=lh, rh=rh, edges=sp.edge_flags(),
+                    interpret=pk.interpret_default())
+            return pk.legacy_tail.legacy_tail_ct(
+                h, p["tail_units"], p["tail_alpha"], p["out_conv"],
+                interpret=pk.interpret_default())
         for unit, d in zip(p["tail_units"], TAIL_DILATIONS):
             h = h + legacy_unit_apply_t(unit, h, dilation=d)
     elif mc.decoder_last_layer == "dilation":

@@ -60,9 +60,18 @@ def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
     the flips happen at successively shorter sequence lengths.
     """
     from ..ops import pallas as pk
+    from ..parallel import sp
     if pk.enabled():
         # fused stem emits the transposed layout directly
-        h = pk.first_block.first_block_ct(x, p["first"])
+        if sp.active():
+            fb_halo = pk.first_block.HALO
+            lh, rh = sp.halo_blocks(x, fb_halo, fb_halo, axis=1)
+            h = pk.first_block.first_block_ct(
+                x, p["first"], lh=lh, rh=rh, edges=sp.edge_flags(),
+                interpret=pk.interpret_default())
+        else:
+            h = pk.first_block.first_block_ct(
+                x, p["first"], interpret=pk.interpret_default())
         in_t = True
     else:
         h = first_block_apply(p["first"], x)

@@ -48,14 +48,29 @@ def conv_unit_apply(p: dict, x: jnp.ndarray, *, dilation: int = 1,
     return y
 
 
+def _sp_halos(x, *, axis: int, dilation: int = 1, kernel_size: int = 7):
+    """(lh, rh) neighbor halo blocks for a SAME-padded conv under SP, or
+    (None, None) monolithically — zeros at the global edges match the conv's
+    zero padding exactly."""
+    from ..parallel import sp
+    if not sp.active():
+        return None, None
+    halo = (kernel_size - 1) * dilation // 2
+    return sp.halo_blocks(x, halo, halo, axis=axis)
+
+
 def residual_conv_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
     from ..ops import pallas as pk
     if pk.enabled() and "w" in p["pw1"]:  # dense weights only
+        lh, rh = _sp_halos(x, axis=1, **kw)
+        itp = pk.interpret_default()
         # natural layout for wide channels; transposed (time-in-lanes) layout
         # for narrow ones (measured crossover on v5e)
         if x.shape[-1] >= 96:
-            return pk.conv_unit.conv_unit(x, p, **kw)
-        return pk.conv_unit.conv_unit_t(x, p, **kw)
+            return pk.conv_unit.conv_unit(x, p, lh=lh, rh=rh, interpret=itp,
+                                          **kw)
+        return pk.conv_unit.conv_unit_t(x, p, lh=lh, rh=rh, interpret=itp,
+                                        **kw)
     return x + conv_unit_apply(p, x, **kw)
 
 
@@ -90,7 +105,10 @@ def conv_unit_apply_t(p: dict, x: jnp.ndarray, *, dilation: int = 1,
 def residual_conv_unit_apply_t(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
     from ..ops import pallas as pk
     if pk.enabled() and "w" in p["pw1"]:
-        return pk.conv_unit.conv_unit_ct(x, p, **kw)
+        lh, rh = _sp_halos(x, axis=2, **kw)
+        return pk.conv_unit.conv_unit_ct(x, p, lh=lh, rh=rh,
+                                         interpret=pk.interpret_default(),
+                                         **kw)
     return x + conv_unit_apply_t(p, x, **kw)
 
 

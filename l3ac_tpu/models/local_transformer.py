@@ -102,8 +102,23 @@ def _mha_apply(p: dict, x: jnp.ndarray, tc: TransConfig,
     from ..ops import pallas as pk
     use_pallas = pk.enabled() and not rotary
     if use_pallas:
-        out = pallas_attention.local_attention(
-            heads(q), heads(k), heads(v), window_size=tc.window_size, bias=bias)
+        from ..parallel import sp
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        if sp.active():
+            # each shard's first window attends back into the left neighbor's
+            # last KV window (one ppermute — the layer's entire cross-shard
+            # communication; zeros + mask on the globally-first shard)
+            n = tc.window_size
+            pk0, _ = sp.halo_blocks(kh, n, 0, axis=2)
+            pv0, _ = sp.halo_blocks(vh, n, 0, axis=2)
+            out = pallas_attention.local_attention(
+                qh, kh, vh, window_size=n, bias=bias,
+                prev_k=pk0, prev_v=pv0, left_edge=sp.edge_flags()[0],
+                interpret=pk.interpret_default())
+        else:
+            out = pallas_attention.local_attention(
+                qh, kh, vh, window_size=tc.window_size, bias=bias,
+                interpret=pk.interpret_default())
     else:
         out = attention.local_attention(
             heads(q), heads(k), heads(v), window_size=tc.window_size,

@@ -96,7 +96,8 @@ def linear_p(x: jnp.ndarray, p: dict) -> jnp.ndarray:
         from . import pallas as pk
         if pk.enabled():
             return pk.int8_matmul.int8_matmul(x, p["w_q"], p["w_scale"],
-                                              p.get("b"))
+                                              p.get("b"),
+                                              interpret=pk.interpret_default())
         w = (p["w_q"].astype(x.dtype) * p["w_scale"].astype(x.dtype))
     else:
         w = p["w"]

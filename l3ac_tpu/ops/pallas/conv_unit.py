@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import _math
 
 
-def _kernel(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
+def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
             w1_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2_ref, b2_ref,
             o_ref, *, halo: int, kernel_size: int, dilation: int,
             has_norm: bool, has_snake: bool, n_tiles: int):
@@ -41,8 +41,11 @@ def _kernel(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     xc = xc_ref[0]
     prev = xp_ref[0, S - halo:, :]
     nxt = xn_ref[0, :halo, :]
-    # zero halos at sequence edges (the conv's zero padding)
-    prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
+    # tile 0's left context comes from the lh operand: zeros in the monolithic
+    # case (the conv's zero padding), the left neighbor's boundary under SP.
+    # The right halo is appended to the input array by the wrapper, so the
+    # last tile's next-slot is always past the end -> zeros.
+    prev = jnp.where(t == 0, lh_ref[0], prev)
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
     xpad = jnp.concatenate([prev, xc, nxt], axis=0)      # (S + 2*halo, C)
 
@@ -78,7 +81,7 @@ def _kernel(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     o_ref[0] = (xc.astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
-def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
+def _kernel_t(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
               w1t_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2t_ref, b2_ref,
               o_ref, *, halo: int, kernel_size: int, dilation: int,
               has_norm: bool, has_snake: bool, n_tiles: int):
@@ -100,7 +103,7 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
 
     prev = xp_ref[0, :, S - halo:]
     nxt = xn_ref[0, :, :halo]
-    prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
+    prev = jnp.where(t == 0, lh_ref[0], prev)
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
     xpad = jnp.concatenate([prev, xc_ref[0], nxt], axis=1)
 
@@ -141,28 +144,44 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilation",
                                              "interpret"))
 def conv_unit_ct(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
-                 dilation: int = 1, interpret: bool = False) -> jnp.ndarray:
+                 dilation: int = 1, lh: jnp.ndarray | None = None,
+                 rh: jnp.ndarray | None = None,
+                 interpret: bool = False) -> jnp.ndarray:
     """Fused residual ConvUnit on transposed (B, C, T) activations — the
     narrow-channel layout. Blocks are sliced straight out of the (B, C, T)
     array by index maps: no flatten/relayout on either side, so chained
-    narrow-section ops stay lane-packed end to end."""
+    narrow-section ops stay lane-packed end to end.
+
+    ``lh``/``rh``: optional (B, C, halo) sequence-parallel halo blocks
+    (``parallel.sp.halo_blocks``) — the neighbor shards' boundary data.
+    Omitted: zero padding at both edges (monolithic semantics)."""
     B, C, T = x.shape
     has_norm = "norm" in p
     has_snake = "alpha" in p
     halo = (kernel_size - 1) * dilation // 2
+    if rh is not None:
+        # appended in-array so reads past T stay contiguous mid-block
+        assert rh.shape == (B, C, halo), (rh.shape, (B, C, halo))
+        x = jnp.concatenate([x, rh.astype(x.dtype)], axis=2)
+    if lh is None:
+        lh = jnp.zeros((B, C, halo), x.dtype)
+    else:
+        assert lh.shape == (B, C, halo), (lh.shape, (B, C, halo))
+        lh = lh.astype(x.dtype)
+    Tin = x.shape[2]
     # keep the (4C, S) fp32 intermediate ~3 MiB (VMEM scoped limit is 16 MiB
     # shared with double-buffered I/O blocks and both weight matrices); narrow
     # channels take long tiles — fewer grid steps amortize per-step overhead
     S = max(256, min(6144, ((2 << 20) // (16 * C)) // 256 * 256))
-    pad = (-T) % S
+    pad = (-Tin) % S
     xt = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
-    NT = (T + pad) // S
+    NT = (Tin + pad) // S
     assert halo <= S
 
     dww = p["dw"]["w"].reshape(kernel_size, C).T            # (C, K)
     col = lambda v: v.reshape(-1, 1)
     args = [
-        xt, xt, xt, dww, col(p["dw"]["b"]),
+        xt, xt, xt, lh, dww, col(p["dw"]["b"]),
         col(p["norm"]["w"]) if has_norm else col(jnp.zeros((C,), x.dtype)),
         col(p["norm"]["b"]) if has_norm else col(jnp.zeros((C,), x.dtype)),
         p["pw1"]["w"].T, col(p["pw1"]["b"]),
@@ -183,6 +202,8 @@ def conv_unit_ct(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     xspec = lambda imap: pl.BlockSpec((1, C, S), imap, memory_space=pltpu.VMEM)
+    lhspec = pl.BlockSpec((1, C, halo), lambda b, t: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _kernel_t, halo=halo, kernel_size=kernel_size, dilation=dilation,
@@ -190,24 +211,29 @@ def conv_unit_ct(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
     out = pl.pallas_call(
         kernel,
         grid=(B, NT),
-        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
-                 [full(a) for a in args[3:]],
+        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map), lhspec] +
+                 [full(a) for a in args[4:]],
         out_specs=xspec(cur_map),
-        out_shape=jax.ShapeDtypeStruct((B, C, T + pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, Tin + pad), x.dtype),
         interpret=interpret,
     )(*args)
-    return out[:, :, :T] if pad else out
+    return out[:, :, :T]
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilation",
                                              "interpret"))
 def conv_unit_t(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
-                dilation: int = 1, interpret: bool = False) -> jnp.ndarray:
+                dilation: int = 1, lh: jnp.ndarray | None = None,
+                rh: jnp.ndarray | None = None,
+                interpret: bool = False) -> jnp.ndarray:
     """Fused residual ConvUnit for natural (B, T, C) input with narrow C:
     transpose, run :func:`conv_unit_ct`, transpose back. Callers that already
-    hold (B, C, T) activations should call ``conv_unit_ct`` directly."""
+    hold (B, C, T) activations should call ``conv_unit_ct`` directly.
+    ``lh``/``rh``: natural-layout (B, halo, C) SP halo blocks."""
+    tr = lambda a: None if a is None else a.transpose(0, 2, 1)
     out = conv_unit_ct(x.transpose(0, 2, 1), p, kernel_size=kernel_size,
-                       dilation=dilation, interpret=interpret)
+                       dilation=dilation, lh=tr(lh), rh=tr(rh),
+                       interpret=interpret)
     return out.transpose(0, 2, 1)
 
 
@@ -223,25 +249,37 @@ def _tile_size(C: int) -> int:
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilation",
                                              "interpret"))
 def conv_unit(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
-              dilation: int = 1, interpret: bool = False) -> jnp.ndarray:
+              dilation: int = 1, lh: jnp.ndarray | None = None,
+              rh: jnp.ndarray | None = None,
+              interpret: bool = False) -> jnp.ndarray:
     """Fused residual ConvUnit. x: (B, T, C); p: ConvUnit param dict (dense
-    weights — int8-quantized leaves fall back to the jnp path upstream)."""
+    weights — int8-quantized leaves fall back to the jnp path upstream).
+    ``lh``/``rh``: optional (B, halo, C) SP halo blocks (see conv_unit_ct)."""
     B, T, C = x.shape
     has_norm = "norm" in p
     has_snake = "alpha" in p
     halo = (kernel_size - 1) * dilation // 2
+    if rh is not None:
+        assert rh.shape == (B, halo, C), (rh.shape, (B, halo, C))
+        x = jnp.concatenate([x, rh.astype(x.dtype)], axis=1)
+    if lh is None:
+        lh = jnp.zeros((B, halo, C), x.dtype)
+    else:
+        assert lh.shape == (B, halo, C), (lh.shape, (B, halo, C))
+        lh = lh.astype(x.dtype)
+    Tin = x.shape[1]
 
     S = _tile_size(C)
-    pad = (-T) % S
+    pad = (-Tin) % S
     xt = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
-    NT = (T + pad) // S
+    NT = (Tin + pad) // S
     assert halo <= S
     xf = xt.reshape(B * NT, S, C)
 
     dww = p["dw"]["w"].reshape(kernel_size, C)           # (K,1,C) -> (K,C)
     row = lambda v: v.reshape(1, -1)
     args = [
-        xf, xf, xf, dww, row(p["dw"]["b"]),
+        xf, xf, xf, lh, dww, row(p["dw"]["b"]),
         row(p["norm"]["w"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
         row(p["norm"]["b"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
         p["pw1"]["w"], row(p["pw1"]["b"]),
@@ -262,6 +300,8 @@ def conv_unit(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     xspec = lambda imap: pl.BlockSpec((1, S, C), imap, memory_space=pltpu.VMEM)
+    lhspec = pl.BlockSpec((1, halo, C), lambda b, t: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _kernel, halo=halo, kernel_size=kernel_size, dilation=dilation,
@@ -270,11 +310,11 @@ def conv_unit(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
     out = pl.pallas_call(
         kernel,
         grid=(B, NT),
-        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
-                 [full(a) for a in args[3:]],
+        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map), lhspec] +
+                 [full(a) for a in args[4:]],
         out_specs=xspec(cur_map),
         out_shape=jax.ShapeDtypeStruct((B * NT, S, C), x.dtype),
         interpret=interpret,
     )(*args)
-    out = out.reshape(B, T + pad, C)
-    return out[:, :T] if pad else out
+    out = out.reshape(B, Tin + pad, C)
+    return out[:, :T]

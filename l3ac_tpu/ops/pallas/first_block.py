@@ -62,19 +62,23 @@ def _sliding(x: jnp.ndarray, k: int, op, out_len: int) -> jnp.ndarray:
     return res
 
 
-def _kernel(xp_ref, xc_ref, xn_ref, wb_ref, bb_ref, w1_ref, b1_ref, w2_ref,
-            b2_ref, o_ref, *, n_tiles: int, total_cols: int, S: int):
+def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, bounds_ref, wb_ref, bb_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, n_tiles: int, S: int):
     t = pl.program_id(1)
     R = S + 2 * HALO
 
     prev = xp_ref[0, :, S - HALO:]
     nxt = xn_ref[0, :, :HALO]
-    prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
+    # tile 0's left context: zeros monolithically, the left neighbor's
+    # boundary under SP (lh operand); the right halo is appended in-array
+    prev = jnp.where(t == 0, lh_ref[0], prev)
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
     x = jnp.concatenate([prev, xc_ref[0], nxt], axis=1).astype(jnp.float32)
 
+    # [lo, hi) valid range: [0, T) monolithically; under SP interior shard
+    # edges extend by HALO (real neighbor data), global edges keep zero pads
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) + (t * S - HALO)
-    valid = (cols >= 0) & (cols < total_cols)
+    valid = (cols >= bounds_ref[0]) & (cols < bounds_ref[1])
     x = jnp.where(valid, x, 0.0)
 
     ax = jnp.abs(x)
@@ -116,18 +120,42 @@ def _kernel(xp_ref, xc_ref, xn_ref, wb_ref, bb_ref, w1_ref, b1_ref, w2_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def first_block_ct(x: jnp.ndarray, p: dict, *,
+                   lh: jnp.ndarray | None = None,
+                   rh: jnp.ndarray | None = None,
+                   edges: jnp.ndarray | None = None,
                    interpret: bool = False) -> jnp.ndarray:
     """x: (B, T, 1) audio -> transposed features (B, target_dim, T). Blocks
     are sliced straight out of the audio row and written into the (B, C, T)
     output by index maps, so the encoder's narrow front section continues in
-    the lane-packed layout with no relayout."""
+    the lane-packed layout with no relayout.
+
+    SP: ``lh``/``rh`` are (B, HALO, 1) neighbor audio boundary blocks
+    (natural layout, ``parallel.sp.halo_blocks`` on the audio) and ``edges``
+    the (2,) int32 [is_first_shard, is_last_shard] pair."""
     B, T, _ = x.shape
+    assert (lh is None) == (rh is None) == (edges is None)
     Cout = p["conv2"]["w"].shape[2]
     S = 4096
-    pad = (-T) % S
     xr = x.reshape(B, 1, T)
+    if rh is not None:
+        assert rh.shape == (B, HALO, 1), (rh.shape, (B, HALO, 1))
+        xr = jnp.concatenate([xr, rh.astype(x.dtype).reshape(B, 1, HALO)],
+                             axis=2)
+    if lh is None:
+        lh = jnp.zeros((B, 1, HALO), x.dtype)
+    else:
+        assert lh.shape == (B, HALO, 1), (lh.shape, (B, HALO, 1))
+        lh = lh.astype(x.dtype).reshape(B, 1, HALO)
+    if edges is None:
+        bounds = jnp.asarray([0, T], jnp.int32)
+    else:
+        bounds = jnp.stack([
+            jnp.where(edges[0] == 1, 0, -HALO),
+            T + jnp.where(edges[1] == 1, 0, HALO)]).astype(jnp.int32)
+    Tin = xr.shape[2]
+    pad = (-Tin) % S
     xf = jnp.pad(xr, ((0, 0), (0, 0), (0, pad))) if pad else xr
-    NT = (T + pad) // S
+    NT = (Tin + pad) // S
 
     wb = jnp.stack([br["w"][:, 0, :] for br in p["base"]["branches"]])  # (5,7,4)
     bb = jnp.stack([br["b"] for br in p["base"]["branches"]])           # (5,4)
@@ -148,19 +176,22 @@ def first_block_ct(x: jnp.ndarray, p: dict, *,
     xspec = lambda imap: pl.BlockSpec((1, 1, S), imap, memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
+    lhspec = pl.BlockSpec((1, 1, HALO), lambda b, t: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     consts = [wb, bb, w1, b1, w2, b2]
 
-    kernel = functools.partial(_kernel, n_tiles=NT, total_cols=T, S=S)
+    kernel = functools.partial(_kernel, n_tiles=NT, S=S)
     out = pl.pallas_call(
         kernel,
         grid=(B, NT),
-        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
-                 [full(a) for a in consts],
+        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map), lhspec,
+                  bspec] + [full(a) for a in consts],
         out_specs=pl.BlockSpec((1, Cout, S), cur_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Cout, T + pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Cout, Tin + pad), x.dtype),
         interpret=interpret,
-    )(xf, xf, xf, *consts)
-    return out[:, :, :T] if pad else out
+    )(xf, xf, xf, lh, bounds, *consts)
+    return out[:, :, :T]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

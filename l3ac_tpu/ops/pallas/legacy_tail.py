@@ -53,9 +53,9 @@ def _conv_lanes(x, wt, b, dilation, R, cdt):
     return acc.astype(cdt)
 
 
-def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1t_ref, b1_ref, a2_ref, w2t_ref,
-            b2_ref, ao_ref, wot_ref, bo_ref, o_ref, *, n_tiles: int,
-            total_cols: int):
+def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, bounds_ref, a1_ref, w1t_ref,
+            b1_ref, a2_ref, w2t_ref, b2_ref, ao_ref, wot_ref, bo_ref, o_ref,
+            *, n_tiles: int):
     t = pl.program_id(1)
     C = xc_ref.shape[1]
     S = xc_ref.shape[2]
@@ -66,12 +66,17 @@ def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1t_ref, b1_ref, a2_ref, w2t_ref,
 
     prev = xp_ref[0, :, S - HALO:]
     nxt = xn_ref[0, :, :HALO]
-    prev = jnp.where(t == 0, jnp.zeros_like(prev), prev)
+    # tile 0's left context: zeros monolithically, the left neighbor's
+    # boundary under SP (lh operand); the right halo is appended in-array
+    prev = jnp.where(t == 0, lh_ref[0], prev)
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
     x = jnp.concatenate([prev, xc_ref[0], nxt], axis=1)
 
+    # valid column range [lo, hi): [0, T) monolithically; under SP the halo
+    # regions hold REAL neighbor data, so interior shard edges extend the
+    # range by HALO and only global edges keep zero-pad semantics
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) + (t * S - HALO)
-    valid = (cols >= 0) & (cols < total_cols)
+    valid = (cols >= bounds_ref[0]) & (cols < bounds_ref[1])
     x = jnp.where(valid, x, jnp.zeros((), cdt))
 
     for u, d in enumerate(DILATIONS):
@@ -94,15 +99,38 @@ def _kernel(xp_ref, xc_ref, xn_ref, a1_ref, w1t_ref, b1_ref, a2_ref, w2t_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def legacy_tail_ct(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
+                   lh: jnp.ndarray | None = None,
+                   rh: jnp.ndarray | None = None,
+                   edges: jnp.ndarray | None = None,
                    interpret: bool = False) -> jnp.ndarray:
     """Transposed input: x (B, C=24, T) -> audio (B, T, 1). Blocks are sliced
     straight out of (B, C, T) by index maps — no relayout, so the tail chains
-    onto the transposed narrow decoder section for free."""
+    onto the transposed narrow decoder section for free.
+
+    SP: ``lh``/``rh`` are (B, C, HALO) neighbor boundary blocks
+    (``parallel.sp.halo_blocks``) and ``edges`` is the (2,) int32
+    [is_first_shard, is_last_shard] flag pair (``parallel.sp.edge_flags``)."""
     B, C, T = x.shape
+    assert (lh is None) == (rh is None) == (edges is None)
+    if rh is not None:
+        assert rh.shape == (B, C, HALO), (rh.shape, (B, C, HALO))
+        x = jnp.concatenate([x, rh.astype(x.dtype)], axis=2)
+    if lh is None:
+        lh = jnp.zeros((B, C, HALO), x.dtype)
+    else:
+        lh = lh.astype(x.dtype)
+        assert lh.shape == (B, C, HALO), (lh.shape, (B, C, HALO))
+    if edges is None:
+        bounds = jnp.asarray([0, T], jnp.int32)
+    else:
+        bounds = jnp.stack([
+            jnp.where(edges[0] == 1, 0, -HALO),
+            T + jnp.where(edges[1] == 1, 0, HALO)]).astype(jnp.int32)
+    Tin = x.shape[2]
     S = 2048
-    pad = (-T) % S
+    pad = (-Tin) % S
     xf = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
-    NT = (T + pad) // S
+    NT = (Tin + pad) // S
 
     # weights pre-transposed to (..., Cout, Cin); vectors pre-shaped as
     # columns (C, 1) — no relayout inside the grid step
@@ -129,20 +157,23 @@ def legacy_tail_ct(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
     xspec = lambda imap: pl.BlockSpec((1, C, S), imap, memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
+    lhspec = pl.BlockSpec((1, C, HALO), lambda b, t: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     consts = [a1, w1t, b1, a2, w2t, b2, ao, wot, bo]
 
-    kernel = functools.partial(_kernel, n_tiles=NT, total_cols=T)
+    kernel = functools.partial(_kernel, n_tiles=NT)
     out = pl.pallas_call(
         kernel,
         grid=(B, NT),
-        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] +
-                 [full(a) for a in consts],
+        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map), lhspec,
+                  bspec] + [full(a) for a in consts],
         out_specs=pl.BlockSpec((1, 1, S), cur_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, T + pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Tin + pad), x.dtype),
         interpret=interpret,
-    )(xf, xf, xf, *consts)
-    out = out.reshape(B, T + pad, 1)
-    return out[:, :T] if pad else out
+    )(xf, xf, xf, lh, bounds, *consts)
+    out = out.reshape(B, Tin + pad, 1)
+    return out[:, :T]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -24,12 +24,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..attention import NEG_INF, local_attention_mask
 
 
-def _attn_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, bias_ref, o_ref, *,
-                 scale: float):
+def _attn_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, kp0_ref, vp0_ref,
+                 bias_ref, o_ref, *, scale: float):
     w = pl.program_id(1)
 
     q = q_ref[0].astype(jnp.float32) * scale          # (rq, D) query row tile
-    kp = kp_ref[0].astype(jnp.float32)                # (n, D) previous window
+    # window 0's "previous" block comes from the kp0/vp0 operands: zeros in
+    # the monolithic case (its columns are NEG_INF-masked via the w==0 bias
+    # plane), the left neighbor shard's last window under SP
+    kp = jnp.where(w == 0, kp0_ref[0], kp_ref[0]).astype(jnp.float32)
     kc = kc_ref[0].astype(jnp.float32)                # (n, D) current window
     n = kc.shape[0]
 
@@ -38,19 +41,14 @@ def _attn_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, bias_ref, o_ref, *,
     s_cur = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     s = jnp.concatenate([s_prev, s_cur], axis=-1)      # (rq, 2n)
-    s = s + bias_ref[0]                                # bias + causal mask
-
-    # first window: the "previous" block is window 0 again (clamped index);
-    # mask out its columns entirely.
-    first_cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < n
-    s = jnp.where((w == 0) & first_cols, NEG_INF, s)
+    s = s + bias_ref[0, 0]       # bias + causal mask (+ w==0 prev-col mask)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     p = e / denom
 
-    vp = vp_ref[0].astype(jnp.float32)
+    vp = jnp.where(w == 0, vp0_ref[0], vp_ref[0]).astype(jnp.float32)
     vc = vc_ref[0].astype(jnp.float32)
     o = (jax.lax.dot_general(p[:, :n], vp, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -77,15 +75,24 @@ def _row_tile(n: int) -> tuple[int, int]:
 @functools.partial(jax.jit, static_argnames=("window_size", "interpret"))
 def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     window_size: int, bias: jnp.ndarray | None = None,
+                    prev_k: jnp.ndarray | None = None,
+                    prev_v: jnp.ndarray | None = None,
+                    left_edge: jnp.ndarray | None = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for ``ops.attention.local_attention``.
 
     q, k, v: (B, H, T, D), T a multiple of window_size. bias: (H, n, 2n) or
     None. Returns (B, H, T, D).
+
+    SP: ``prev_k``/``prev_v`` are the left neighbor shard's last KV window,
+    (B, H, n, D) (``parallel.sp.halo_blocks`` on the window axis), and
+    ``left_edge`` a traced 0/1 scalar — 1 on the globally-first shard, whose
+    first window masks its backward keys exactly like the monolithic case.
     """
     B, H, T, D = q.shape
     n = window_size
     assert T % n == 0
+    assert (prev_k is None) == (prev_v is None) == (left_edge is None)
     W = T // n
     BH = B * H
     rq, n_pad = _row_tile(n)
@@ -101,16 +108,30 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         qf = jnp.pad(qf, ((0, 0), (0, n_pad - n), (0, 0)))
     kf = k.reshape(BH * W, n, D)
     vf = v.reshape(BH * W, n, D)
+    if prev_k is None:
+        kp0 = jnp.zeros((BH, n, D), q.dtype)
+        vp0 = kp0
+        mask_first = True                      # static: always mask
+    else:
+        kp0 = prev_k.astype(q.dtype).reshape(BH, n, D)
+        vp0 = prev_v.astype(q.dtype).reshape(BH, n, D)
+        mask_first = left_edge == 1            # traced 0/1 scalar
 
-    # fold causal mask (and bias) into one additive (H, n, 2n) tensor; padded
-    # query rows get zero bias (finite scores -> no NaN, rows cropped below)
+    # fold causal mask (and bias) into one additive tensor, stacked as
+    # (2, H, n_pad, 2n): plane 0 serves window 0 (backward keys NEG_INF-masked
+    # when this shard is the global start), plane 1 every other window. Padded
+    # query rows get zero bias (finite scores -> no NaN, rows cropped below).
     mask_add = jnp.where(local_attention_mask(n), 0.0, NEG_INF).astype(jnp.float32)
     if bias is None:
         bias_all = jnp.broadcast_to(mask_add, (H, n, 2 * n))
     else:
         bias_all = bias.astype(jnp.float32) + mask_add
+    first_cols = (jnp.arange(2 * n) < n)[None, None, :]
+    bias_w0 = jnp.where(jnp.logical_and(first_cols, mask_first), NEG_INF,
+                        bias_all)
+    bias_st = jnp.stack([bias_w0, bias_all])               # (2, H, n, 2n)
     if n_pad != n:
-        bias_all = jnp.pad(bias_all, ((0, 0), (0, n_pad - n), (0, 0)))
+        bias_st = jnp.pad(bias_st, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
     grid = (BH, W, NR)
 
@@ -123,8 +144,11 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     def prev_map(b, w, r):
         return (b * W + jnp.maximum(w - 1, 0), 0, 0)
 
+    def p0_map(b, w, r):
+        return (b, 0, 0)
+
     def bias_map(b, w, r):
-        return (b % H, r, 0)
+        return (jnp.minimum(w, 1), b % H, r, 0)
 
     kernel = functools.partial(_attn_kernel, scale=D ** -0.5)
     out = pl.pallas_call(
@@ -136,12 +160,14 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             pl.BlockSpec((1, n, D), cur_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, D), prev_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, D), cur_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rq, 2 * n), bias_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, D), p0_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, D), p0_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rq, 2 * n), bias_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rq, D), q_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH * W, n_pad, D), q.dtype),
         interpret=interpret,
-    )(qf, kf, kf, vf, vf, bias_all)
+    )(qf, kf, kf, vf, vf, kp0, vp0, bias_st)
     out = out.reshape(B, H, W, n_pad, D)
     if n_pad != n:
         out = out[:, :, :, :n]

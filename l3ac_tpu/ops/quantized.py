@@ -48,7 +48,8 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     """
     from . import pallas as pk
     if pk.enabled():
-        return pk.int8_matmul.int8_matmul(x, w_q, scale, b)
+        return pk.int8_matmul.int8_matmul(x, w_q, scale, b,
+                                          interpret=pk.interpret_default())
     w = w_q.astype(x.dtype) * scale.astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:

@@ -75,6 +75,47 @@ def _send_left(block: jnp.ndarray) -> jnp.ndarray:
     return lax.ppermute(block, _AXIS[0], [(i + 1, i) for i in range(n - 1)])
 
 
+def halo_blocks(x: jnp.ndarray, left: int, right: int, *, axis: int = 1,
+                fill: float = 0.0):
+    """Fetch this shard's halo blocks from its neighbors (SP must be active).
+
+    Returns ``(lh, rh)``: ``lh`` = the left neighbor's last ``left`` frames
+    (``fill`` on the globally-first shard), ``rh`` = the right neighbor's first
+    ``right`` frames (``fill`` on the globally-last shard); ``None`` where the
+    requested width is 0. This is the building block consumed both by
+    :func:`pad_time` (jnp ops) and by the SP-aware Pallas kernel wrappers,
+    which take the halos as explicit operands instead of concatenating.
+    """
+    # halo exchange reaches only the immediate neighbor; a pad wider than the
+    # per-shard length would silently wrap via negative slice starts
+    if left > x.shape[axis] or right > x.shape[axis]:
+        raise ValueError(
+            f"SP halo ({left},{right}) exceeds per-shard length "
+            f"{x.shape[axis]} on axis {axis}; use more samples per shard")
+    n = lax.axis_size(_AXIS[0])
+    idx = lax.axis_index(_AXIS[0])
+    lh = rh = None
+    if left:
+        tail = lax.slice_in_dim(x, x.shape[axis] - left, x.shape[axis],
+                                axis=axis)
+        recv = _send_right(tail)
+        lh = jnp.where(idx == 0, jnp.full_like(recv, fill), recv)
+    if right:
+        head = lax.slice_in_dim(x, 0, right, axis=axis)
+        recv = _send_left(head)
+        rh = jnp.where(idx == n - 1, jnp.full_like(recv, fill), recv)
+    return lh, rh
+
+
+def edge_flags() -> jnp.ndarray:
+    """(2,) int32 [is_globally_first_shard, is_globally_last_shard] — consumed
+    by SP-aware Pallas kernels to decide where zero-pad semantics apply."""
+    idx = lax.axis_index(_AXIS[0])
+    n = lax.axis_size(_AXIS[0])
+    return jnp.stack([(idx == 0).astype(jnp.int32),
+                      (idx == n - 1).astype(jnp.int32)])
+
+
 def pad_time(x: jnp.ndarray, left: int, right: int, *, axis: int = 1,
              fill: float = 0.0) -> jnp.ndarray:
     """Time-axis padding that is SP-transparent.
@@ -90,27 +131,8 @@ def pad_time(x: jnp.ndarray, left: int, right: int, *, axis: int = 1,
         pads = [(0, 0)] * x.ndim
         pads[axis] = (left, right)
         return jnp.pad(x, pads, constant_values=fill)
-    name = _AXIS[0]
-    # halo exchange reaches only the immediate neighbor; a pad wider than the
-    # per-shard length would silently wrap via negative slice starts
-    if left > x.shape[axis] or right > x.shape[axis]:
-        raise ValueError(
-            f"SP halo ({left},{right}) exceeds per-shard length "
-            f"{x.shape[axis]} on axis {axis}; use more samples per shard")
-    n = lax.axis_size(name)
-    idx = lax.axis_index(name)
-    parts = []
-    if left:
-        tail = lax.slice_in_dim(x, x.shape[axis] - left, x.shape[axis], axis=axis)
-        recv = _send_right(tail)
-        fill_blk = jnp.full_like(recv, fill)
-        parts.append(jnp.where(idx == 0, fill_blk, recv))
-    parts.append(x)
-    if right:
-        head = lax.slice_in_dim(x, 0, right, axis=axis)
-        recv = _send_left(head)
-        fill_blk = jnp.full_like(recv, fill)
-        parts.append(jnp.where(idx == n - 1, fill_blk, recv))
+    lh, rh = halo_blocks(x, left, right, axis=axis, fill=fill)
+    parts = [p for p in (lh, x, rh) if p is not None]
     return jnp.concatenate(parts, axis=axis)
 
 

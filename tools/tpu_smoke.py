@@ -158,6 +158,15 @@ def run_dtype(dtype, run: Runner):
     want = x32 @ quantized.dequantize_weight(w_q, scale, jnp.float32)
     got = pk_q.int8_matmul(x32.astype(dtype), w_q, scale)
     run.check("int8_matmul (M1200,K512,N2048)", got, want, tol)
+    # unaligned N (ADVICE r2): the production qkv geometry N=576 is NOT a lane
+    # multiple; a Mosaic tiling failure here must surface in smoke, not at
+    # inference time
+    w32 = _rand((128, 576), jnp.float32, scale=0.05)
+    x32 = _rand((2, 500, 128), jnp.float32)
+    w_q, scale = quantized.quantize_weight(w32)
+    want = x32 @ quantized.dequantize_weight(w_q, scale, jnp.float32)
+    got = pk_q.int8_matmul(x32.astype(dtype), w_q, scale)
+    run.check("int8_matmul unaligned (M1000,K128,N576)", got, want, tol)
 
     # --- full model: jit(encode) + jit(decode), 1kbps geometry
     from l3ac_tpu.models import codec as fcodec
@@ -174,6 +183,32 @@ def run_dtype(dtype, run: Runner):
           f"out={out.shape} finite={bool(ok)} {'ok' if ok else 'FAIL'}")
     if not ok:
         run.failures.append(f"e2e[{name}]")
+
+    # --- SP kernel path under shard_map: encode_sp/decode_sp compile + run
+    # with the kernels' halo-operand code paths (lh/rh operands, SMEM bounds,
+    # kp0/vp0 + stacked bias) on the real device. With one chip the mesh is
+    # sp=n_devices (>=1); degenerate ppermute still exercises the kernel-side
+    # SP plumbing Mosaic must legalize.
+    from jax.sharding import Mesh
+    from l3ac_tpu.parallel.mesh import AXES
+    devs = np.asarray(jax.devices())
+    n_sp = devs.size
+    mesh = Mesh(devs.reshape(1, n_sp, 1), AXES)
+    T_sp = fcodec.sp_time_quantum(mc) * n_sp
+    a_sp = _rand((1, T_sp), dtype, scale=0.3)
+    q_sp, idx_sp = jax.jit(
+        lambda p, x: fcodec.encode_sp(p, x, mc, mesh))(params, a_sp)
+    y_sp = jax.jit(lambda p, x: fcodec.decode_sp(p, x, mc, mesh))(params, q_sp)
+    ok = np.isfinite(np.asarray(y_sp, dtype=np.float32)).all()
+    if n_sp == 1:
+        # sp=1 must agree with the monolithic path bit-for-bit on indices
+        qf1, idx1 = jax.jit(
+            lambda p, x: fcodec.encode(p, x, mc))(params, a_sp)
+        ok = ok and bool((np.asarray(idx_sp) == np.asarray(idx1)).all())
+    print(f"  {'encode_sp+decode_sp shard_map kernels':<44s} "
+          f"sp={n_sp} finite+idx={bool(ok)} {'ok' if ok else 'FAIL'}")
+    if not ok:
+        run.failures.append(f"sp_kernels[{name}]")
 
 
 def main():
