@@ -54,7 +54,8 @@ class L3AC:
         path = Path(model_path) if model_path else self.config.model_path
         if not path.exists() or not (path / "encoder.pt").exists():
             self.download_weights(path)
-        self.params = convert.convert_model_dir(path, self.mc)
+        self.params = convert.convert_model_dir(
+            path, self.mc, config_name=self.config.model_name)
         return self
 
     def download_weights(self, path: Path):

@@ -302,15 +302,70 @@ def convert_checkpoint(state_dicts: dict, mc: ModelConfig, *,
     return jax.tree.map(jnp.asarray, params)
 
 
-def convert_model_dir(model_path, mc: ModelConfig, *, strict: bool = True) -> dict:
+def load_key_manifest(config_name: str) -> dict | None:
+    """Load ``configs/<name>.keys.json`` — the per-module expected state-dict
+    key/shape table generated from the torch oracle
+    (``tools/gen_key_manifests.py``). None if no manifest ships for the name."""
+    import json
+    from pathlib import Path
+
+    path = (Path(__file__).resolve().parent.parent / "configs"
+            / f"{config_name}.keys.json")
+    if not path.exists():
+        return None
+    return json.loads(path.read_text())
+
+
+def validate_manifest(state_dicts: dict, manifest: dict) -> list[str]:
+    """Diff ``{module: {key: array}}`` against a key manifest. Returns a list
+    of human-readable problems (missing keys, unexpected keys, shape
+    mismatches) — empty when the checkpoint matches the oracle-derived layout
+    exactly. This is the offline half of real-checkpoint acceptance: when a
+    real download disagrees with the local oracle's architecture, the diff
+    names every divergent key instead of failing deep inside the converter."""
+    problems: list[str] = []
+    for mod, want in manifest.items():
+        if mod not in state_dicts:
+            problems.append(f"{mod}: module state dict missing")
+            continue
+        got = state_dicts[mod]
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        if missing:
+            problems.append(f"{mod}: missing keys: " + ", ".join(missing[:8])
+                            + (" ..." if len(missing) > 8 else ""))
+        if extra:
+            problems.append(f"{mod}: unexpected keys: " + ", ".join(extra[:8])
+                            + (" ..." if len(extra) > 8 else ""))
+        for k in set(want) & set(got):
+            if list(np.shape(got[k])) != list(want[k]):
+                problems.append(
+                    f"{mod}.{k}: shape {list(np.shape(got[k]))} != "
+                    f"manifest {list(want[k])}")
+    return problems
+
+
+def convert_model_dir(model_path, mc: ModelConfig, *, strict: bool = True,
+                      config_name: str | None = None) -> dict:
     """Load the reference's 5 per-module .pt files from a directory.
 
     Strict by default: real released checkpoints must convert with every key
-    accounted for (weight-norm pairs fold into one dense weight each).
+    accounted for (weight-norm pairs fold into one dense weight each). When
+    ``config_name`` names a shipped manifest, the checkpoint's key/shape sets
+    are diffed against it FIRST, so architecture disagreements surface as a
+    complete named diff rather than a converter KeyError.
     """
     from pathlib import Path
 
     model_path = Path(model_path)
     sds = {name: load_torch_state_dict(model_path / f"{name}.pt")
            for name in MODULE_CONVERTERS}
+    if config_name is not None:
+        manifest = load_key_manifest(config_name)
+        if manifest is not None:
+            problems = validate_manifest(sds, manifest)
+            if strict and problems:
+                raise ValueError(
+                    f"checkpoint at {model_path} does not match the "
+                    f"'{config_name}' key manifest:\n  " + "\n  ".join(problems))
     return convert_checkpoint(sds, mc, strict=strict)
