@@ -70,6 +70,10 @@ def main():
                     help="ignored (warmup is implied by compiling every "
                          "chain length); kept for CLI compatibility")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight-only quantize the matmul weights "
+                         "(fused Pallas dequant-matmul); reports FSQ index "
+                         "agreement vs the unquantized model")
     args = ap.parse_args()
 
     from l3ac_tpu.config import get_config
@@ -84,6 +88,16 @@ def main():
     sr = cfg.sample_rate
     T = int(args.seconds * sr) // mc.hop_length * mc.hop_length
     audio = jax.random.normal(jax.random.PRNGKey(1), (args.batch, T), dtype) * 0.3
+
+    int8_agreement = None
+    if args.int8:
+        from l3ac_tpu.ops.quantized import quantize_params
+        idx_ref = jax.jit(lambda p, a: fcodec.encode(p, a, mc)[1])(params,
+                                                                   audio)
+        params = quantize_params(params)
+        idx_q = jax.jit(lambda p, a: fcodec.encode(p, a, mc)[1])(params, audio)
+        int8_agreement = float(jnp.mean((idx_ref == idx_q).astype(
+            jnp.float32)))
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def run(params, audio, iters):
@@ -123,7 +137,7 @@ def main():
     audio_seconds = args.batch * (T / sr)
     rtf = audio_seconds / dt
     mfu = flops / dt / _peak_flops() if flops else None
-    print(json.dumps({
+    record = {
         "metric": f"rtf_encode_decode_{args.model}",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
@@ -134,7 +148,11 @@ def main():
         "dtype": args.dtype,
         "batch": args.batch,
         "audio_seconds_per_step": audio_seconds,
-    }))
+    }
+    if args.int8:
+        record["int8"] = True
+        record["int8_index_agreement"] = round(int8_agreement, 5)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

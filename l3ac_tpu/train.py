@@ -26,13 +26,89 @@ from .models import codec as fcodec
 from .parallel import sharding as shrd
 
 
-def loss_fn(params, audio: jnp.ndarray, mc: ModelConfig, rng=None):
-    out = fcodec.forward(params, audio, mc, training=True)
+def _hann(n: int) -> jnp.ndarray:
+    return 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n) / n)
+
+
+def _frame(x: jnp.ndarray, frame: int, hop: int) -> jnp.ndarray:
+    """(B, T) -> (B, n_frames, frame) via a static gather."""
+    T = x.shape[-1]
+    n = max(1, 1 + (T - frame) // hop)
+    idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame)[None, :]
+    return x[:, idx]
+
+
+def _stft_mag(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Magnitude STFT (B, frames, n_fft//2+1), Hann window, fp32."""
+    frames = _frame(x.astype(jnp.float32), n_fft, hop) * _hann(n_fft)
+    return jnp.abs(jnp.fft.rfft(frames, axis=-1))
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int,
+                    fmin: float = 0.0, fmax: float | None = None):
+    """Standard triangular mel filterbank (HTK mel scale), numpy/static."""
+    import numpy as np
+    fmax = fmax or sr / 2
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    pts = imel(np.linspace(mel(fmin), mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
+    for i in range(n_mels):
+        l, c, r = bins[i], bins[i + 1], bins[i + 2]
+        if c > l:
+            fb[i, l:c] = (np.arange(l, c) - l) / (c - l)
+        if r > c:
+            fb[i, c:r] = (r - np.arange(c, r)) / (r - c)
+    return jnp.asarray(fb)
+
+
+# (n_fft, hop) pairs for the multi-resolution STFT loss (standard MR-STFT
+# recipe, e.g. Yamamoto et al. 2020 — the reference's training recipe is
+# unpublished/off-snapshot, SURVEY §3.4, so this is the stand-in spectral
+# objective the framework ships)
+STFT_RESOLUTIONS = ((512, 128), (1024, 256), (2048, 512))
+
+
+def stft_loss(y: jnp.ndarray, x: jnp.ndarray,
+              resolutions=STFT_RESOLUTIONS) -> jnp.ndarray:
+    """Multi-resolution STFT loss: spectral convergence + log-magnitude L1."""
+    total = 0.0
+    for n_fft, hop in resolutions:
+        my = _stft_mag(y, n_fft, hop)
+        mx = _stft_mag(x, n_fft, hop)
+        sc = jnp.linalg.norm(my - mx) / (jnp.linalg.norm(mx) + 1e-7)
+        mag = jnp.mean(jnp.abs(jnp.log(my + 1e-7) - jnp.log(mx + 1e-7)))
+        total = total + sc + mag
+    return total / len(resolutions)
+
+
+def mel_loss(y: jnp.ndarray, x: jnp.ndarray, sr: int = 16000,
+             n_fft: int = 1024, hop: int = 256,
+             n_mels: int = 80) -> jnp.ndarray:
+    """Log-mel-spectrogram L1."""
+    fb = _mel_filterbank(sr, n_fft, n_mels)
+    my = _stft_mag(y, n_fft, hop) @ fb.T
+    mx = _stft_mag(x, n_fft, hop) @ fb.T
+    return jnp.mean(jnp.abs(jnp.log(my + 1e-5) - jnp.log(mx + 1e-5)))
+
+
+def loss_fn(params, audio: jnp.ndarray, mc: ModelConfig, rng=None,
+            spectral: bool = False):
+    out = fcodec.forward(params, audio, mc, training=True, rng=rng)
     y = out["generated_audio"]
     wav_l2 = jnp.mean((y - audio) ** 2)
     wav_l1 = jnp.mean(jnp.abs(y - audio))
     loss = wav_l2 + 0.1 * wav_l1 + out["commit_loss"]
-    return loss, {"loss": loss, "wav_l2": wav_l2, "wav_l1": wav_l1}
+    metrics = {"wav_l2": wav_l2, "wav_l1": wav_l1}
+    if spectral:
+        sl = stft_loss(y, audio)
+        ml = mel_loss(y, audio)
+        loss = loss + sl + ml
+        metrics["stft"] = sl
+        metrics["mel"] = ml
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def sgd_update(params, grads, lr: float):
@@ -64,14 +140,19 @@ def make_train_step(mc: ModelConfig, lr: float = 1e-4, optimizer=None):
     return step
 
 
-def make_sharded_train_step(mesh: Mesh, mc: ModelConfig, lr: float = 1e-4):
+def make_sharded_train_step(mesh: Mesh, mc: ModelConfig, lr: float = 1e-4,
+                            optimizer=None, spectral: bool = False):
     """Full train step jitted over a (dp, sp, tp) mesh.
 
     Returns (step_fn, shard_params_fn, audio_sharding). The step does
-    grad + SGD update entirely under GSPMD; gradients reduce over dp
+    grad + update entirely under GSPMD; gradients reduce over dp
     automatically because the loss is a mean over the dp-sharded batch.
+
+    ``optimizer``: an optax GradientTransformation — the step then takes and
+    returns ``opt_state`` (init it AFTER ``shard_params`` so its moment
+    pytrees inherit the param shardings via ``zeros_like``); plain SGD
+    otherwise. ``spectral``: add the multi-resolution STFT + log-mel terms.
     """
-    param_sh = None  # resolved lazily per concrete params pytree
 
     def _constrained_loss(params, audio):
         # batch over dp, time over sp. GSPMD inserts the conv halo exchanges
@@ -80,13 +161,23 @@ def make_sharded_train_step(mesh: Mesh, mc: ModelConfig, lr: float = 1e-4):
         # models.codec.encode_sp/decode_sp).
         audio = jax.lax.with_sharding_constraint(
             audio, NamedSharding(mesh, P("dp", "sp")))
-        return loss_fn(params, audio, mc)
+        return loss_fn(params, audio, mc, spectral=spectral)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(params, audio):
-        (loss, metrics), grads = jax.value_and_grad(
-            _constrained_loss, has_aux=True)(params, audio)
-        return sgd_update(params, grads, lr), metrics
+    if optimizer is None:
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(params, audio):
+            (loss, metrics), grads = jax.value_and_grad(
+                _constrained_loss, has_aux=True)(params, audio)
+            return sgd_update(params, grads, lr), metrics
+    else:
+        import optax
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, audio):
+            (loss, metrics), grads = jax.value_and_grad(
+                _constrained_loss, has_aux=True)(params, audio)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, metrics
 
     def shard_params(params):
         return jax.device_put(params, shrd.param_shardings(params, mesh))

@@ -1,11 +1,13 @@
 """Aggregate-throughput bench for the mixed-config continuous-batching
 scheduler (BASELINE.json configs 3 & 5): many ragged streams across TWO
 checkpoints (1kbps + 3kbps) served concurrently by ``runtime.scheduler.
-CodecServer``; reports aggregate encode RTF (total audio seconds / wall
-seconds) and per-config stream counts.
+CodecServer`` — ENCODE and DECODE. Reports aggregate RTF (total audio
+seconds / wall seconds) per direction and for the full roundtrip.
 
 Wall time includes ALL host-side work (framing, batching, token scatter) —
-this is the serving number, not a kernel number.
+this is the serving number, not a kernel number. Two waves of identical
+length-distribution run per direction: wave A warms every compiled program
+(including the per-tail-length decode shapes), wave B is timed steady-state.
 """
 
 import argparse
@@ -42,28 +44,52 @@ def main():
     server = CodecServer(models, chunk_seconds=args.chunk_seconds,
                          batch_size=args.batch)
 
-    total_audio = 0.0
-    handles = []
-    for name in args.models:
-        sr = models[name].config.sample_rate
-        for _ in range(args.streams_per_model):
-            secs = float(RNG.uniform(args.min_seconds, args.max_seconds))
-            audio = (RNG.standard_normal(int(secs * sr)) * 0.3).astype(np.float32)
-            handles.append(server.submit(name, audio))
-            total_audio += len(audio) / sr
+    # one fixed length distribution reused by both waves so wave B's decode
+    # tail shapes are exactly the ones wave A compiled
+    plan = [(name, float(RNG.uniform(args.min_seconds, args.max_seconds)))
+            for name in args.models
+            for _ in range(args.streams_per_model)]
 
-    # warm the compiled programs (one batch per config) outside the timing
-    for _ in args.models:
-        server.step()
+    def submit_wave():
+        handles, total = [], 0.0
+        for name, secs in plan:
+            sr = models[name].config.sample_rate
+            audio = (RNG.standard_normal(int(secs * sr)) * 0.3
+                     ).astype(np.float32)
+            handles.append((name, len(audio), server.submit(name, audio)))
+            total += len(audio) / sr
+        return handles, total
 
+    # ---- encode: wave A warms, wave B is timed
+    wave_a, _ = submit_wave()
+    server.drain()
+    wave_b, total_audio = submit_wave()
     t0 = time.perf_counter()
     server.drain()
-    dt = time.perf_counter() - t0
+    enc_dt = time.perf_counter() - t0
+    n_tokens = sum(len(server.tokens(h)) for _, _, h in wave_b)
 
-    n_tokens = sum(len(server.tokens(h)) for h in handles)
-    print(f"streams: {len(handles)} across {list(models)}  "
-          f"audio: {total_audio:.1f}s  tokens: {n_tokens}")
-    print(f"wall: {dt*1e3:.1f} ms  aggregate encode RTF: {total_audio/dt:.1f}x")
+    # ---- decode: wave A's tokens warm every tail shape, wave B is timed
+    for name, length, h in wave_a:
+        server.submit_decode(name, indices=server.tokens(h), length=length)
+    server.drain()
+    dec_handles = [server.submit_decode(name, indices=server.tokens(h),
+                                        length=length)
+                   for name, length, h in wave_b]
+    t0 = time.perf_counter()
+    server.drain()
+    dec_dt = time.perf_counter() - t0
+    out_samples = sum(len(server.audio(h)) for h in dec_handles)
+
+    print(f"streams/wave: {len(wave_b)} across {list(models)}  "
+          f"audio: {total_audio:.1f}s  tokens: {n_tokens}  "
+          f"decoded samples: {out_samples}")
+    print(f"encode  wall: {enc_dt*1e3:8.1f} ms  aggregate RTF: "
+          f"{total_audio/enc_dt:8.1f}x")
+    print(f"decode  wall: {dec_dt*1e3:8.1f} ms  aggregate RTF: "
+          f"{total_audio/dec_dt:8.1f}x")
+    rt = total_audio / (enc_dt + dec_dt)
+    print(f"roundtrip (encode+decode) aggregate RTF: {rt:.1f}x")
 
 
 if __name__ == "__main__":
