@@ -38,7 +38,11 @@ GEOMETRIES = [("pw1@512", 512, 2048), ("pw2@512", 2048, 512),
               ("ffw1@128", 128, 682)]
 
 
-def timeit(fn, x, k1=20, k2=100, repeats=3):
+def timeit(fn, x, k1=500, k2=5000, repeats=5):
+    # These matmuls are ~2-20 us/call: the chain must accumulate tens of ms of
+    # device time per measurement or the host-side timer jitter (~1-2 ms via
+    # the axon relay) swamps the slope (round-2's 20/100 chains printed
+    # negative microseconds).
     @functools.partial(jax.jit, static_argnames=("iters",))
     def run(x0, iters):
         def step(c, _):
