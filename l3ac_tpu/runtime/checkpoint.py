@@ -60,3 +60,52 @@ def load_params(path: str | Path, *, to_jax: bool = True):
         import jax.numpy as jnp
         tree = jax.tree.map(jnp.asarray, tree)
     return tree
+
+
+# ---------------------------------------------------------------------------
+# Sharded on-disk checkpoints (orbax) — the multi-host/pod-scale format
+# (SURVEY §5 "checkpoint/resume"): each host writes only its shards, restore
+# reshards directly onto a target mesh without materializing the full pytree
+# on any one host. The npz format above remains the portable single-file
+# interchange; this is the training/serving-at-scale path.
+# ---------------------------------------------------------------------------
+
+
+def save_sharded(path: str | Path, params) -> None:
+    """Write a sharded orbax checkpoint of a (possibly device-sharded) pytree."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params)
+        ckptr.wait_until_finished()
+
+
+def load_sharded(path: str | Path, *, template=None, shardings=None):
+    """Restore an orbax checkpoint.
+
+    ``shardings``: optional pytree of ``jax.sharding.Sharding`` (e.g. from
+    ``parallel.sharding.param_shardings``) — arrays restore directly into that
+    placement, so a pod restore never gathers the full model to one host.
+    ``template``: optional abstract pytree (shape/dtype) when restoring
+    without metadata assumptions; defaults to the checkpoint's own structure.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        if shardings is not None:
+            if template is None:
+                meta = ckptr.metadata(path).item_metadata.tree
+                template = jax.tree.map(
+                    lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta,
+                    is_leaf=lambda m: hasattr(m, "shape"))
+            abstract = jax.tree.map(
+                lambda t, s: jax.ShapeDtypeStruct(t.shape, t.dtype,
+                                                  sharding=s),
+                template, shardings)
+            return ckptr.restore(path, abstract)
+        if template is not None:
+            return ckptr.restore(path, template)
+        return ckptr.restore(path)

@@ -33,8 +33,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*", default=["1kbps", "3kbps"])
     ap.add_argument("--streams-per-model", type=int, default=16)
-    ap.add_argument("--min-seconds", type=float, default=2.0)
-    ap.add_argument("--max-seconds", type=float, default=12.0)
+    ap.add_argument("--length-palette", type=float, nargs="*",
+                    default=[2.5, 5.0, 7.5, 10.0],
+                    help="stream lengths (s) are drawn from this palette. "
+                         "Decode tail chunks run at their EXACT token length "
+                         "(the decoder's InstanceNorm is global over the "
+                         "chunk, so zero-padding would change the audio — "
+                         "see runtime.streaming.decode_streams), which costs "
+                         "one compile per distinct tail; bucketing stream "
+                         "lengths is the standard serving answer and what a "
+                         "deployment should do")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--chunk-seconds", type=float, default=5.0)
     args = ap.parse_args()
@@ -46,7 +54,7 @@ def main():
 
     # one fixed length distribution reused by both waves so wave B's decode
     # tail shapes are exactly the ones wave A compiled
-    plan = [(name, float(RNG.uniform(args.min_seconds, args.max_seconds)))
+    plan = [(name, float(RNG.choice(args.length_palette)))
             for name in args.models
             for _ in range(args.streams_per_model)]
 
