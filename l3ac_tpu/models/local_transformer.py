@@ -94,7 +94,8 @@ def _mha_apply(p: dict, x: jnp.ndarray, tc: TransConfig,
     def heads(t):
         return t.reshape(B, T, tc.heads, tc.dim_head).transpose(0, 2, 1, 3)
 
-    # fused Pallas kernel on TPU (1.7x at window 750); jnp reference elsewhere,
+    # fused Pallas kernel on TPU (measured 2.5x at window 250, 3.8x at window
+    # 750 vs the jnp path — BENCH_NOTES.md round 3); jnp reference elsewhere,
     # when L3AC_TPU_NO_PALLAS is set, or on the rotary path (reference's
     # use_rotary_pos_emb — active only when dynamic position bias is off,
     # which no released config does; l3ac/local_trans.py:29)

@@ -89,9 +89,10 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.
 def linear_p(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Dense layer from a param dict; transparently supports int8 weight-only
     quantized leaves ({"w_q", "w_scale"}) produced by ops.quantized. On TPU the
-    quantized form routes to the fused dequant-matmul Pallas kernel (the
-    weight streams from HBM at 1 byte/param; the jnp fallback materializes a
-    dequantized copy)."""
+    quantized form routes to the fused dequant-matmul Pallas kernel (weights
+    at 1 byte/param in HBM; the jnp fallback materializes a dequantized copy).
+    Note int8 here trades ~speed (measured 0.1-0.9x dense bf16 at this model's
+    weight sizes, BENCH_NOTES.md) for 2x weight memory."""
     if "w_q" in p:
         from . import pallas as pk
         if pk.enabled():

@@ -13,6 +13,13 @@ where weight streaming dominates the matmul's HBM traffic.
 Serves the codec's matmul family (ConvUnit pw1/pw2, transformer qkv/out/ff —
 reference ``l3ac/modules.py:32-41``, ``local_trans.py``): K, N <= ~700, so the
 whole int8 weight fits VMEM; the grid tiles only the long M = B*T axis.
+
+MEASURED (BENCH_NOTES.md round 3): at L3AC's weight sizes (<= 2 MB/matmul)
+the weight-streaming argument does NOT hold on v5e — weights stay resident
+across scan iterations and every geometry is activation/compute-bound, so
+int8 is 0.1-0.9x the dense bf16 speed. The capability's value here is 2x
+checkpoint/host memory, not speed; the bandwidth argument applies to models
+with >= 100 MB matmul weights, which this codec is not.
 """
 
 from __future__ import annotations
