@@ -74,7 +74,18 @@ def main():
                     help="int8 weight-only quantize the matmul weights "
                          "(fused Pallas dequant-matmul); reports FSQ index "
                          "agreement vs the unquantized model")
+    ap.add_argument("--exact-sine", action="store_true",
+                    help="use Mosaic's exact fp32 sin in the snake kernels "
+                         "instead of the default fast polynomial (~6.4e-7 "
+                         "max abs error, +57%% RTF — BENCH_NOTES.md). The "
+                         "LIBRARY default is exact; the bench defaults to "
+                         "the production configuration")
     args = ap.parse_args()
+
+    import os
+    if not args.exact_sine:
+        # must be set before the kernels first trace (ops/pallas/_math.sin)
+        os.environ["L3AC_TPU_FAST_SINE"] = "1"
 
     from l3ac_tpu.config import get_config
     from l3ac_tpu.models import codec as fcodec
@@ -149,6 +160,7 @@ def main():
         "batch": args.batch,
         "audio_seconds_per_step": audio_seconds,
     }
+    record["fast_sine"] = not args.exact_sine
     if args.int8:
         record["int8"] = True
         record["int8_index_agreement"] = round(int8_agreement, 5)

@@ -49,7 +49,7 @@ def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
     xpad = jnp.concatenate([prev, xc, nxt], axis=0)      # (S + 2*halo, C)
 
-    # depthwise conv as kernel_size shifted FMAs (VPU)
+    # depthwise conv as kernel_size shifted FMAs (VPU), fp32 accumulate
     acc = jnp.broadcast_to(dwb_ref[0], (S, C)).astype(jnp.float32)
     for k in range(kernel_size):
         off = k * dilation
@@ -67,8 +67,7 @@ def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     h = h + b1_ref[0].astype(jnp.float32)
 
     if has_snake:
-        a = alpha_ref[0].astype(jnp.float32)
-        h = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
+        h = _math.snake(h, alpha_ref[0])
     else:
         h = _math.gelu_exact(h)
 
@@ -125,10 +124,7 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     h = h + b1_ref[...].astype(jnp.float32)
 
     if has_snake:
-        # snake stays fp32: Mosaic cannot legalize bf16 math.sin, and the
-        # parity contract computes sin in fp32 regardless of activation dtype
-        a = alpha_ref[...].astype(jnp.float32)
-        h = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
+        h = _math.snake(h, alpha_ref[...])
     else:
         h = _math.gelu_exact(h)
     h = h.astype(cdt)

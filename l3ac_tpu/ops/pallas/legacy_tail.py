@@ -28,16 +28,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _math
+
 DILATIONS = (1, 3, 9)
 HALO = 3 * sum(DILATIONS) + 3  # 42
 
 
 def _snake(x, a):
-    # sin/divide in fp32 — Mosaic cannot legalize bf16 math.sin, and parity
-    # computes snake in fp32 anyway; storage stays in the activation dtype
-    xf = x.astype(jnp.float32)
-    af = a.astype(jnp.float32)
-    return (xf + jnp.sin(af * xf) ** 2 / (af + 1e-8)).astype(x.dtype)
+    # fp32 snake (see ops/pallas/_math.snake — honors L3AC_TPU_FAST_SINE);
+    # storage stays in the activation dtype. NOTE an im2col single-matmul
+    # form of the k7 convs was tried in round 3 and abandoned: Mosaic cannot
+    # legalize the (24-sublane) tap stacking (vector concat rejects mixed
+    # offsets; scratch stores and lane-roll variants compile but hang on
+    # hardware), so the 7-matmul form stays.
+    return _math.snake(x, a).astype(x.dtype)
 
 
 def _conv_lanes(x, wt, b, dilation, R, cdt):

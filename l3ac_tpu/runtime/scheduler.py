@@ -267,6 +267,7 @@ class CodecServer:
         self.streams: dict[int, _Stream] = {}
         self._next_handle = 0
         self._steps = 0
+        self._inflight: list = []      # dispatched-but-uncollected results
         self._models = models
         self._chunk_seconds = chunk_seconds
         self._use_native = use_native
@@ -425,16 +426,12 @@ class CodecServer:
         return x
 
     def _step_encode(self, lane, rows, batch, sids, cids, valid):
+        # dispatch only — jax arrays are futures; the host loop keeps feeding
+        # the device and results scatter later in _collect() (one sync per
+        # drain instead of one per step)
         _, idx = lane.run(lane.params, self._device_batch(batch))
-        idx = np.asarray(idx)
-        for r in range(rows):
-            st = self.streams[lane.handles[int(sids[r])]]
-            c = int(cids[r])
-            n_tok = math.ceil(int(valid[r]) / lane.hop)
-            toks = idx[r][:n_tok]
-            if c > 0:
-                toks = toks[lane.tok_prefix:]
-            st.out[c] = toks
+        self._inflight.append(("enc", lane, idx, rows, None,
+                               sids.copy(), cids.copy(), valid.copy()))
 
     def _step_decode(self, lane, rows, batch, sids, cids, valid):
         # bucket rows by exact valid length: interior rows share the fixed
@@ -454,30 +451,52 @@ class CodecServer:
             else:
                 xin = self._device_batch(x.reshape(x.shape[0], n_tok,
                                                    lane.width))
-            audio = np.asarray(lane.run(lane.params, xin))
-            for j, r in enumerate(rs):
-                st = self.streams[lane.handles[int(sids[r])]]
-                c = int(cids[r])
-                a = audio[j]
-                if c > 0:
-                    a = a[lane.tok_prefix * lane.hop:]
-                st.out[c] = a
+            audio = lane.run(lane.params, xin)
+            self._inflight.append(("dec", lane, audio, len(rs), rs,
+                                   sids.copy(), cids.copy(), valid.copy()))
+
+    def _collect(self) -> None:
+        """Scatter all dispatched device results into stream bookkeeping."""
+        for kind, lane, arr, rows, rs, sids, cids, valid in self._inflight:
+            arr = np.asarray(arr)
+            if kind == "enc":
+                for r in range(rows):
+                    st = self.streams[lane.handles[int(sids[r])]]
+                    c = int(cids[r])
+                    n_tok = math.ceil(int(valid[r]) / lane.hop)
+                    toks = arr[r][:n_tok]
+                    if c > 0:
+                        toks = toks[lane.tok_prefix:]
+                    st.out[c] = toks
+            else:
+                for j, r in enumerate(rs):
+                    st = self.streams[lane.handles[int(sids[r])]]
+                    c = int(cids[r])
+                    a = arr[j]
+                    if c > 0:
+                        a = a[lane.tok_prefix * lane.hop:]
+                    st.out[c] = a
+        self._inflight.clear()
 
     def drain(self) -> None:
         while self.step():
             pass
+        self._collect()
 
     # -- results ------------------------------------------------------------
     def done(self, handle: int) -> bool:
+        self._collect()
         return self.streams[handle].done
 
     def tokens(self, handle: int) -> np.ndarray:
+        self._collect()
         st = self.streams[handle]
         assert st.lane.endswith(":enc"), "tokens() is for encode streams"
         assert st.done, "stream not finished/processed; call drain() or step()"
         return np.concatenate([st.out[c] for c in sorted(st.out)])
 
     def audio(self, handle: int) -> np.ndarray:
+        self._collect()
         st = self.streams[handle]
         assert not st.lane.endswith(":enc"), "audio() is for decode streams"
         assert st.done, "stream not finished/processed; call drain() or step()"
@@ -492,6 +511,7 @@ class CodecServer:
         results. Compiled programs are NOT state (XLA recompiles/caches)."""
         import io
         import json
+        self._collect()                # flush in-flight device results first
         arrays: dict[str, np.ndarray] = {}
         meta = {"next_handle": self._next_handle, "steps": self._steps,
                 "batch_size": self.batch_size,

@@ -135,3 +135,25 @@ def test_pallas_int8_matmul_matches_reference(M, K, N, bias):
     got = pk_q.int8_matmul(x, w_q, scale, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_poly_sine_accuracy():
+    """The opt-in fast sine (L3AC_TPU_FAST_SINE, ops/pallas/_math.sin_poly)
+    must stay within a few fp32 ulps of true sine across the realistic snake
+    input range (|alpha*h| up to ~1e3) — the documented ~6.4e-7 bound."""
+    from l3ac_tpu.ops.pallas import _math
+    for scale in (1.0, 3.0, 30.0, 300.0):
+        v = jnp.asarray((RNG.standard_normal(500_000) * scale)
+                        .astype(np.float32))
+        got = np.asarray(_math.sin_poly(v), np.float64)
+        want = np.sin(np.asarray(v, np.float64))
+        assert np.abs(got - want).max() < 1e-6, scale
+    # snake built on it: default mode is EXACT jnp.sin
+    import os
+    assert not os.environ.get("L3AC_TPU_FAST_SINE"), \
+        "tests must run with exact sine (bit-exactness contracts)"
+    h = jnp.asarray(RNG.standard_normal((64, 256)).astype(np.float32))
+    a = jnp.abs(jnp.asarray(RNG.standard_normal(256).astype(np.float32))) + 0.5
+    want = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
+    np.testing.assert_array_equal(np.asarray(_math.snake(h, a)),
+                                  np.asarray(want))
