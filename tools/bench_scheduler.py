@@ -45,9 +45,17 @@ def main():
                          "deployment should do")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--chunk-seconds", type=float, default=5.0)
+    ap.add_argument("--exact-sine", action="store_true",
+                    help="exact Mosaic sin instead of the production fast "
+                         "polynomial (see bench.py / BENCH_NOTES.md)")
     args = ap.parse_args()
 
-    print(f"backend: {jax.default_backend()}")
+    if not args.exact_sine:
+        import os
+        os.environ["L3AC_TPU_FAST_SINE"] = "1"
+
+    print(f"backend: {jax.default_backend()} "
+          f"fast_sine={not args.exact_sine}")
     models = {name: get_model(name, pretrained=False) for name in args.models}
     server = CodecServer(models, chunk_seconds=args.chunk_seconds,
                          batch_size=args.batch)
