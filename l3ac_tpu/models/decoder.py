@@ -76,6 +76,46 @@ def init_decoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
     return p
 
 
+def _up_path(stage: dict, h: jnp.ndarray, stride: int, in_t: bool) -> jnp.ndarray:
+    """Stage up path: 1x1 conv -> linear upsample x stride -> ChannelNorm.
+
+    Dispatches to the fused Pallas kernel (``ops/pallas/upsample.py``) on
+    accelerators; jnp chain otherwise. Under SP the kernel consumes neighbor
+    boundary columns (torch's edge clamp applies only at the global edges).
+    """
+    from ..ops import pallas as pk
+    from ..parallel import sp
+    axis = 2 if in_t else 1
+    if pk.enabled() and "w" in stage["up_conv"] and stride > 1:
+        if sp.active():
+            lh, rh = sp.halo_blocks(h, 1, 1, axis=axis)
+            edge = sp.edge_flags()
+            first = jax.lax.slice_in_dim(h, 0, 1, axis=axis)
+            last = jax.lax.slice_in_dim(h, h.shape[axis] - 1, h.shape[axis],
+                                        axis=axis)
+            lh = jnp.where(edge[0] == 1, first, lh)
+            rh = jnp.where(edge[1] == 1, last, rh)
+        else:
+            lh = rh = None
+        f = pk.upsample.up_fused_ct if in_t else pk.upsample.up_fused
+        nw = stage["up_norm"]["w"] if "up_norm" in stage else None
+        nb = stage["up_norm"]["b"] if "up_norm" in stage else None
+        return f(h, stage["up_conv"]["w"], stage["up_conv"]["b"], nw, nb,
+                 scale=stride, lh=lh, rh=rh, interpret=pk.interpret_default())
+    if in_t:
+        h = tx.conv1x1_t(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
+        h = tx.upsample_linear_t(h, stride)
+        if "up_norm" in stage:
+            h = tx.channel_norm_t(h, stage["up_norm"]["w"],
+                                  stage["up_norm"]["b"])
+    else:
+        h = conv1d(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
+        h = upsample_linear(h, stride)
+        if "up_norm" in stage:
+            h = channel_norm(h, stage["up_norm"]["w"], stage["up_norm"]["b"])
+    return h
+
+
 def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
     """x: (B, T', feature_dim) -> (B, T' * prod(decode_rates), 1).
 
@@ -96,19 +136,12 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
             for unit in stage["units"]:
                 h = residual_conv_unit_apply_t(unit, h)
             h = enhance_block_apply_t(stage["enhance"], h)
-            h = tx.conv1x1_t(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
-            h = tx.upsample_linear_t(h, stride)
-            if "up_norm" in stage:
-                h = tx.channel_norm_t(h, stage["up_norm"]["w"],
-                                      stage["up_norm"]["b"])
+            h = _up_path(stage, h, stride, in_t=True)
         else:
             for unit in stage["units"]:
                 h = residual_conv_unit_apply(unit, h)
             h = enhance_block_apply(stage["enhance"], h)
-            h = conv1d(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
-            h = upsample_linear(h, stride)
-            if "up_norm" in stage:
-                h = channel_norm(h, stage["up_norm"]["w"], stage["up_norm"]["b"])
+            h = _up_path(stage, h, stride, in_t=False)
 
     if not in_t:  # tiny/debug geometries that never narrow
         h = tx.to_t(h)

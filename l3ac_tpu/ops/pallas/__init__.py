@@ -14,7 +14,7 @@ import os
 import jax
 
 from . import (conv_unit, first_block, int8_matmul, legacy_tail,  # noqa: F401
-               local_attention)
+               local_attention, upsample)
 
 # Test hook: force kernels on (in interpret mode) on CPU so the SP/shard_map
 # kernel paths are testable without a TPU. Set by tests via force_interpret().

@@ -123,21 +123,8 @@ def main():
         print(f"stage{si} enhance  {dt*1e3:8.2f} ms")
         h = f(h)
 
-        if in_t:
-            def up_fn(h, stage=stage, stride=stride):
-                h = tx.conv1x1_t(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
-                h = tx.upsample_linear_t(h, stride)
-                if "up_norm" in stage:
-                    h = tx.channel_norm_t(h, stage["up_norm"]["w"],
-                                          stage["up_norm"]["b"])
-                return h
-        else:
-            def up_fn(h, stage=stage, stride=stride):
-                h = conv1d(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
-                h = upsample_linear(h, stride)
-                if "up_norm" in stage:
-                    h = channel_norm(h, stage["up_norm"]["w"], stage["up_norm"]["b"])
-                return h
+        def up_fn(h, stage=stage, stride=stride, in_t=in_t):
+            return fdec._up_path(stage, h, stride, in_t=in_t)
         f = jax.jit(up_fn)
         dt = timeit(f, h)
         total += dt
