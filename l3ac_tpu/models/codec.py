@@ -202,17 +202,26 @@ def decode_indices_sp(params: dict, indices: jnp.ndarray, mc: ModelConfig,
 
 
 def forward(params: dict, audio: jnp.ndarray, mc: ModelConfig, *,
-            training: bool = False, rng=None) -> dict:
+            training: bool = False, rng=None,
+            drop_path_rate: float = 0.0) -> dict:
     """Training-style round trip returning the reference's output dict
     (``EnCodec.forward``, ``l3ac/en_codec.py:53-72``). ``rng`` enables the
-    train-time FSQ noise injection."""
+    train-time FSQ noise injection and, with ``drop_path_rate > 0``, the
+    conv stages' stochastic depth (reference wires the rate at
+    ``l3ac/codec.py:46-56``; released configs use 0)."""
+    if rng is not None:
+        rng, k_enc, k_dec = jax.random.split(rng, 3)
+    else:
+        k_enc = k_dec = None
     padded, length = preprocess(audio, mc)
-    feature = encoder_apply(params["encoder"], padded[..., None], mc)
+    feature = encoder_apply(params["encoder"], padded[..., None], mc,
+                            drop_path_rate=drop_path_rate, rng=k_enc)
     trans_feature = en_encoder_apply(params["en_encoder"], feature, mc)
     q_trans, indices, _ = quantizer_apply(params["quantizer"], trans_feature,
                                           mc.vq, training=training, rng=rng)
     q_feature = en_decoder_apply(params["en_decoder"], q_trans, mc)
-    y = decoder_apply(params["decoder"], q_feature, mc)[..., 0]
+    y = decoder_apply(params["decoder"], q_feature, mc,
+                      drop_path_rate=drop_path_rate, rng=k_dec)[..., 0]
     return {
         "generated_audio": y[..., :length],
         "embedded_audio": q_feature,

@@ -116,15 +116,23 @@ def _up_path(stage: dict, h: jnp.ndarray, stride: int, in_t: bool) -> jnp.ndarra
     return h
 
 
-def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
+def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
+                  drop_path_rate: float = 0.0, rng=None) -> jnp.ndarray:
     """x: (B, T', feature_dim) -> (B, T' * prod(decode_rates), 1).
 
     Wide stages run channels-last; once the working dim drops to
     ``NARROW_MAX_C`` the activation flips to (B, C, T) ONCE and every
     remaining op (units, enhance gate, up path, tail) runs lane-packed in
     that layout.
+
+    ``drop_path_rate``/``rng``: train-only stochastic depth, linspace ramp
+    rate -> 0 across stage units; the tail always runs at rate 0 (reference
+    ``l3ac/modules.py:153,172-187``).
     """
     from ..ops import pallas as pk
+    from ..ops import droppath
+    dp = iter(droppath.schedule(drop_path_rate, sum(mc.decoder_depths), rng,
+                                ascending=False))
     h = conv1d(x, p["in_conv"]["w"], p["in_conv"]["b"], padding=1)
     in_t = False
     for stage, stride, i_d in zip(p["stages"], mc.decode_rates,
@@ -134,12 +142,14 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
             in_t = True
         if in_t:
             for unit in stage["units"]:
-                h = residual_conv_unit_apply_t(unit, h)
+                r, k = next(dp)
+                h = residual_conv_unit_apply_t(unit, h, drop_rate=r, rng=k)
             h = enhance_block_apply_t(stage["enhance"], h)
             h = _up_path(stage, h, stride, in_t=True)
         else:
             for unit in stage["units"]:
-                h = residual_conv_unit_apply(unit, h)
+                r, k = next(dp)
+                h = residual_conv_unit_apply(unit, h, drop_rate=r, rng=k)
             h = enhance_block_apply(stage["enhance"], h)
             h = _up_path(stage, h, stride, in_t=False)
 

@@ -51,16 +51,23 @@ def init_encoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
     return p
 
 
-def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
+def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
+                  drop_path_rate: float = 0.0, rng=None) -> jnp.ndarray:
     """x: (B, T, 1) -> (B, T // conv_hop, feature_dim). T must be a hop multiple.
 
     The stem and narrow stages (dim <= NARROW_MAX_C) run in the transposed
     (B, C, T) lane-packed layout; the strided downsampling convs run as
     channels-last reshape+matmuls (MXU), flipping layout at each boundary —
     the flips happen at successively shorter sequence lengths.
+
+    ``drop_path_rate``/``rng``: train-only stochastic depth, linspace ramp
+    0 -> rate across all units (reference ``l3ac/modules.py:89``).
     """
     from ..ops import pallas as pk
+    from ..ops import droppath
     from ..parallel import sp
+    dp = iter(droppath.schedule(drop_path_rate, sum(mc.encoder_depths), rng,
+                                ascending=True))
     if pk.enabled():
         # fused stem emits the transposed layout directly
         if sp.active():
@@ -87,17 +94,20 @@ def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig) -> jnp.ndarray:
             in_t = False
         if in_t:
             for unit in stage["units"]:
-                h = residual_conv_unit_apply_t(unit, h)
+                r, k = next(dp)
+                h = residual_conv_unit_apply_t(unit, h, drop_rate=r, rng=k)
             h = tx.from_t(h)
             in_t = False
         else:
             for unit in stage["units"]:
-                h = residual_conv_unit_apply(unit, h)
+                r, k = next(dp)
+                h = residual_conv_unit_apply(unit, h, drop_rate=r, rng=k)
         h = conv1d_strided_matmul(h, stage["down"]["w"], stage["down"]["b"])
         if "down_norm" in stage:
             h = channel_norm(h, stage["down_norm"]["w"], stage["down_norm"]["b"])
     if in_t:
         h = tx.from_t(h)
     for unit in p["last_units"]:
-        h = residual_conv_unit_apply(unit, h)
+        r, k = next(dp)
+        h = residual_conv_unit_apply(unit, h, drop_rate=r, rng=k)
     return conv1d(h, p["out_conv"]["w"], p["out_conv"]["b"], padding=1)

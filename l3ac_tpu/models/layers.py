@@ -3,8 +3,9 @@
 Functional modules: ``init_*`` builds a param pytree, ``*_apply`` runs it on
 channels-last activations (B, T, C). Semantics match the reference
 (``l3ac/modules.py:10-64``): residual adds are part of the *_unit appliers
-(reference wraps in ``Residual``; drop-path is train-only and rate 0 in all
-released configs, so it is omitted here).
+(reference wraps in ``Residual``); train-only stochastic-depth drop-path is
+supported via ``drop_rate``/``rng`` kwargs (``ops/droppath.py``) and inert at
+inference — the released configs all train with rate 0.
 """
 
 import jax
@@ -59,8 +60,12 @@ def _sp_halos(x, *, axis: int, dilation: int = 1, kernel_size: int = 7):
     return sp.halo_blocks(x, halo, halo, axis=axis)
 
 
-def residual_conv_unit_apply(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
+def residual_conv_unit_apply(p: dict, x: jnp.ndarray, *, drop_rate: float = 0.0,
+                             rng=None, **kw) -> jnp.ndarray:
     from ..ops import pallas as pk
+    if drop_rate > 0.0 and rng is not None:  # train-only stochastic depth
+        from ..ops.droppath import drop_path
+        return x + drop_path(rng, conv_unit_apply(p, x, **kw), drop_rate)
     if pk.enabled() and "w" in p["pw1"]:  # dense weights only
         lh, rh = _sp_halos(x, axis=1, **kw)
         itp = pk.interpret_default()
@@ -102,8 +107,13 @@ def conv_unit_apply_t(p: dict, x: jnp.ndarray, *, dilation: int = 1,
     return y
 
 
-def residual_conv_unit_apply_t(p: dict, x: jnp.ndarray, **kw) -> jnp.ndarray:
+def residual_conv_unit_apply_t(p: dict, x: jnp.ndarray, *,
+                               drop_rate: float = 0.0, rng=None,
+                               **kw) -> jnp.ndarray:
     from ..ops import pallas as pk
+    if drop_rate > 0.0 and rng is not None:
+        from ..ops.droppath import drop_path
+        return x + drop_path(rng, conv_unit_apply_t(p, x, **kw), drop_rate)
     if pk.enabled() and "w" in p["pw1"]:
         lh, rh = _sp_halos(x, axis=2, **kw)
         return pk.conv_unit.conv_unit_ct(x, p, lh=lh, rh=rh,

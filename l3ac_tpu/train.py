@@ -94,8 +94,9 @@ def mel_loss(y: jnp.ndarray, x: jnp.ndarray, sr: int = 16000,
 
 
 def loss_fn(params, audio: jnp.ndarray, mc: ModelConfig, rng=None,
-            spectral: bool = False):
-    out = fcodec.forward(params, audio, mc, training=True, rng=rng)
+            spectral: bool = False, drop_path_rate: float = 0.0):
+    out = fcodec.forward(params, audio, mc, training=True, rng=rng,
+                         drop_path_rate=drop_path_rate)
     y = out["generated_audio"]
     wav_l2 = jnp.mean((y - audio) ** 2)
     wav_l1 = jnp.mean(jnp.abs(y - audio))

@@ -183,3 +183,60 @@ def test_chunk_data_identity():
     assert lens == [300, 330, 330, 130]
     cd2 = ChunkData(chunk_len=300, prefix_len=30, chunk_data=cd.chunk_data)
     np.testing.assert_array_equal(cd2.data, data)
+
+
+class TestDropPath:
+    """Train-only stochastic depth (reference xtract/nn/layers.py:48-62,
+    rate scheduling modules.py:89,153)."""
+
+    def test_mask_per_sample_and_scaling(self):
+        from l3ac_tpu.ops.droppath import drop_path
+        delta = jnp.ones((64, 5, 3))
+        out = drop_path(jax.random.PRNGKey(0), delta, 0.5)
+        per = np.asarray(out).reshape(64, -1)
+        # each sample is entirely kept (scaled by 1/keep = 2) or dropped
+        assert all(np.allclose(row, 2.0) or np.allclose(row, 0.0)
+                   for row in per)
+        kept = sum(np.allclose(row, 2.0) for row in per)
+        assert 16 <= kept <= 48  # Bernoulli(0.5) over 64 samples
+        # rate 0 is the identity
+        same = drop_path(jax.random.PRNGKey(0), delta, 0.0)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(delta))
+
+    def test_schedule_matches_torch_linspace(self):
+        from l3ac_tpu.ops.droppath import schedule
+        rng = jax.random.PRNGKey(1)
+        up = [r for r, _ in schedule(0.3, 5, rng, ascending=True)]
+        np.testing.assert_allclose(up, np.linspace(0.0, 0.3, 5), rtol=1e-6)
+        down = [r for r, _ in schedule(0.3, 5, rng, ascending=False)]
+        np.testing.assert_allclose(down, np.linspace(0.3, 0.0, 5), rtol=1e-6)
+        # n=1 edge: encoder gets 0, decoder gets the full rate (torch semantics)
+        assert schedule(0.3, 1, rng, ascending=True)[0][0] == 0.0
+        assert schedule(0.3, 1, rng, ascending=False)[0][0] == 0.3
+        # inert without an rng
+        assert schedule(0.3, 4, None) == [(0.0, None)] * 4
+
+    def test_forward_drop_path_train_only(self):
+        mc = get_config("debug").network_config
+        params = jcodec.init_codec(jax.random.PRNGKey(0), mc)
+        audio = jnp.asarray(
+            np.random.default_rng(5).standard_normal((2, 4 * mc.hop_length))
+            .astype(np.float32)) * 0.3
+        base = jcodec.forward(params, audio, mc)["generated_audio"]
+        # rate set but no rng (inference): bit-identical to the baseline
+        eval_out = jcodec.forward(params, audio, mc,
+                                  drop_path_rate=0.9)["generated_audio"]
+        np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(base))
+        # training with a high rate: finite and actually different
+        train_out = jcodec.forward(params, audio, mc, training=True,
+                                   rng=jax.random.PRNGKey(2),
+                                   drop_path_rate=0.9)["generated_audio"]
+        assert np.isfinite(np.asarray(train_out)).all()
+        assert not np.allclose(np.asarray(train_out), np.asarray(base))
+        # gradients flow through the masked branches
+        from l3ac_tpu import train
+        g = jax.grad(lambda p: train.loss_fn(
+            p, audio, mc, rng=jax.random.PRNGKey(3), drop_path_rate=0.5)[0]
+        )(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -157,3 +157,64 @@ def test_poly_sine_accuracy():
     want = h + jnp.sin(a * h) ** 2 / (a + 1e-8)
     np.testing.assert_array_equal(np.asarray(_math.snake(h, a)),
                                   np.asarray(want))
+
+
+@pytest.mark.parametrize("scale,T,Ci,Co,norm", [
+    (5, 300, 128, 64, True),
+    (3, 257, 96, 48, True),
+    (2, 300, 48, 24, False),
+])
+def test_pallas_up_fused_matches_reference(scale, T, Ci, Co, norm):
+    """Fused 1x1-conv + linear-upsample + ChannelNorm vs the jnp chain,
+    both layouts (reference chain: l3ac/modules.py:155-166)."""
+    from l3ac_tpu.ops import conv1d, upsample_linear, channel_norm
+    from l3ac_tpu.ops import transposed as tx
+    from l3ac_tpu.ops.pallas import upsample as pk_up
+    k = jax.random.PRNGKey(scale)
+    x = jnp.asarray(RNG.standard_normal((2, T, Ci)).astype(np.float32))
+    w = jax.random.normal(k, (1, Ci, Co), jnp.float32) * 0.1
+    b = jax.random.normal(k, (Co,), jnp.float32) * 0.1
+    nw = jnp.ones((Co,)) * 1.3 if norm else None
+    nb = jnp.ones((Co,)) * 0.2 if norm else None
+
+    want = upsample_linear(conv1d(x, w, b), scale)
+    if norm:
+        want = channel_norm(want, nw, nb)
+    got = pk_up.up_fused(x, w, b, nw, nb, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    xt = x.transpose(0, 2, 1)
+    want_t = tx.upsample_linear_t(tx.conv1x1_t(xt, w, b), scale)
+    if norm:
+        want_t = tx.channel_norm_t(want_t, nw, nb)
+    got_t = pk_up.up_fused_ct(xt, w, b, nw, nb, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_up_fused_halo_sharding():
+    """Two half-shards with explicit lh/rh boundary columns concatenate to
+    exactly the monolithic result (the SP contract of models/decoder._up_path)."""
+    from l3ac_tpu.ops.pallas import upsample as pk_up
+    k = jax.random.PRNGKey(7)
+    B, Ci, Co, T, scale = 2, 64, 32, 520, 3
+    x = jnp.asarray(RNG.standard_normal((B, Ci, T)).astype(np.float32))
+    w = jax.random.normal(k, (1, Ci, Co), jnp.float32) * 0.1
+    b = jnp.zeros((Co,))
+    nw = jnp.ones((Co,))
+    nb = jnp.zeros((Co,))
+
+    full = pk_up.up_fused_ct(x, w, b, nw, nb, scale=scale, interpret=True)
+
+    half = T // 2
+    xl, xr = x[:, :, :half], x[:, :, half:]
+    # shard 0: global-left edge clamps (lh = own first col), rh = neighbor's first
+    out_l = pk_up.up_fused_ct(xl, w, b, nw, nb, scale=scale,
+                              lh=xl[:, :, :1], rh=xr[:, :, :1], interpret=True)
+    # shard 1: lh = neighbor's last col, global-right edge clamps
+    out_r = pk_up.up_fused_ct(xr, w, b, nw, nb, scale=scale,
+                              lh=xl[:, :, -1:], rh=xr[:, :, -1:], interpret=True)
+    got = jnp.concatenate([out_l, out_r], axis=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)

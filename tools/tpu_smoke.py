@@ -149,6 +149,33 @@ def run_dtype(dtype, run: Runner):
                                     bias=b32)
         run.check(f"local_attention (w={n}, T={T})", got, want, tol)
 
+    # --- up_fused / up_fused_ct (decoder stage up paths at 1kbps production
+    # geometry: wide natural-layout stage0 x5 and narrow transposed stage3 x2)
+    from l3ac_tpu.ops import channel_norm, upsample_linear
+    from l3ac_tpu.ops import transposed as tx
+    from l3ac_tpu.ops.pallas import upsample as pk_up
+    x32 = _rand((2, 1776, 512), jnp.float32, scale=0.5)
+    w32 = _rand((1, 512, 256), jnp.float32, scale=0.05)
+    b32 = _rand((256,), jnp.float32, scale=0.1)
+    nw32 = _rand((256,), jnp.float32, scale=0.3) + 1.0
+    nb32 = _rand((256,), jnp.float32, scale=0.1)
+    want = channel_norm(upsample_linear(conv1d(x32, w32, b32), 5), nw32, nb32)
+    got = pk_up.up_fused(x32.astype(dtype), w32.astype(dtype),
+                         b32.astype(dtype), nw32.astype(dtype),
+                         nb32.astype(dtype), scale=5)
+    run.check("up_fused (B2,T1776,512->256,x5)", got, want, tol)
+    x32 = _rand((2, 48, 20000), jnp.float32, scale=0.5)
+    w32 = _rand((1, 48, 24), jnp.float32, scale=0.1)
+    b32 = _rand((24,), jnp.float32, scale=0.1)
+    nw32 = _rand((24,), jnp.float32, scale=0.3) + 1.0
+    nb32 = _rand((24,), jnp.float32, scale=0.1)
+    want = tx.channel_norm_t(tx.upsample_linear_t(
+        tx.conv1x1_t(x32, w32, b32), 2), nw32, nb32)
+    got = pk_up.up_fused_ct(x32.astype(dtype), w32.astype(dtype),
+                            b32.astype(dtype), nw32.astype(dtype),
+                            nb32.astype(dtype), scale=2)
+    run.check("up_fused_ct (B2,C48->24,T20000,x2)", got, want, tol)
+
     # --- int8 fused dequant-matmul (pw1 geometry of the decoder's wide stage)
     from l3ac_tpu.ops import quantized
     from l3ac_tpu.ops.pallas import int8_matmul as pk_q
