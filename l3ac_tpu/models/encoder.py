@@ -96,15 +96,21 @@ def encoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
             for unit in stage["units"]:
                 r, k = next(dp)
                 h = residual_conv_unit_apply_t(unit, h, drop_rate=r, rng=k)
-            h = tx.from_t(h)
-            in_t = False
+            # stay lane-packed through the downsample: no layout round-trip
+            # at the (raw-audio-rate) stage boundaries
+            h = tx.conv1d_strided_matmul_t(h, stage["down"]["w"],
+                                           stage["down"]["b"])
+            if "down_norm" in stage:
+                h = tx.channel_norm_t(h, stage["down_norm"]["w"],
+                                      stage["down_norm"]["b"])
         else:
             for unit in stage["units"]:
                 r, k = next(dp)
                 h = residual_conv_unit_apply(unit, h, drop_rate=r, rng=k)
-        h = conv1d_strided_matmul(h, stage["down"]["w"], stage["down"]["b"])
-        if "down_norm" in stage:
-            h = channel_norm(h, stage["down_norm"]["w"], stage["down_norm"]["b"])
+            h = conv1d_strided_matmul(h, stage["down"]["w"], stage["down"]["b"])
+            if "down_norm" in stage:
+                h = channel_norm(h, stage["down_norm"]["w"],
+                                 stage["down_norm"]["b"])
     if in_t:
         h = tx.from_t(h)
     for unit in p["last_units"]:

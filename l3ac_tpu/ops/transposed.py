@@ -98,6 +98,28 @@ def instance_norm_t(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     return weight[:, None] * xn + bias[:, None]
 
 
+def conv1d_strided_matmul_t(x: jnp.ndarray, w: jnp.ndarray,
+                            b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Conv with kernel_size == stride on transposed (B, C, T) activations,
+    staying transposed: (B, Ci, T) -> (B, Co, T // K).
+
+    Same contraction as :func:`l3ac_tpu.ops.conv.conv1d_strided_matmul`
+    (``w``: (K, Ci, Co), no padding, ``T % K == 0``) without the layout
+    round-trip — the encoder's narrow stages feed their downsample directly
+    from the lane-packed layout (reference conv: ``l3ac/modules.py:97-100``).
+    """
+    B, C, T = x.shape
+    K, Cin, Cout = w.shape
+    assert Cin == C, (Cin, C)
+    assert T % K == 0, (T, K)
+    xr = x.reshape(B, C, T // K, K)
+    y = jnp.einsum("bctk,kco->bot", xr, w,
+                   preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b[:, None]
+    return y
+
+
 def grn_t(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
           eps: float = EPS) -> jnp.ndarray:
     """Reference GRN quirk on (B, C, T) — the norm is a per-batch scalar either

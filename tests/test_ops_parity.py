@@ -190,3 +190,20 @@ class TestFSQ:
         g = jax.grad(loss)(z)
         assert np.all(np.isfinite(n(g)))
         assert np.abs(n(g)).max() > 0  # STE passes gradients through
+
+
+@pytest.mark.parametrize("K,Ci,Co,T", [(6, 24, 48, 600), (5, 48, 96, 500),
+                                       (3, 96, 192, 300)])
+def test_conv1d_strided_matmul_t_matches_natural(K, Ci, Co, T):
+    """Transposed-layout strided downsample == the natural-layout form
+    (encoder stage boundaries, reference l3ac/modules.py:97-100)."""
+    from l3ac_tpu.ops.conv import conv1d_strided_matmul
+    from l3ac_tpu.ops import transposed as tx
+    rng = np.random.default_rng(K)
+    x = jnp.asarray(rng.standard_normal((2, T, Ci)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((K, Ci, Co)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((Co,)).astype(np.float32))
+    want = conv1d_strided_matmul(x, w, b)
+    got = tx.conv1d_strided_matmul_t(x.transpose(0, 2, 1), w, b)
+    np.testing.assert_allclose(np.asarray(got.transpose(0, 2, 1)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -98,7 +98,7 @@ def main():
             def units_fn(h, stage=stage):
                 for unit in stage["units"]:
                     h = residual_conv_unit_apply_t(unit, h)
-                return tx.from_t(h)
+                return h
         else:
             def units_fn(h, stage=stage):
                 for unit in stage["units"]:
@@ -107,19 +107,35 @@ def main():
         f = jax.jit(units_fn)
         dt = timeit(f, h); total += dt
         print(f"stage{si} units    {dt*1e3:8.2f} ms   shape={h.shape} "
-              f"x{len(stage['units'])}{' (+from_t)' if in_t else ''}")
-        h = f(h); in_t = False
+              f"x{len(stage['units'])}")
+        h = f(h)
 
-        def down_fn(h, stage=stage):
-            y = conv1d_strided_matmul(h, stage["down"]["w"], stage["down"]["b"])
-            if "down_norm" in stage:
-                y = channel_norm(y, stage["down_norm"]["w"],
-                                 stage["down_norm"]["b"])
-            return y
+        if in_t:
+            def down_fn(h, stage=stage):
+                y = tx.conv1d_strided_matmul_t(h, stage["down"]["w"],
+                                               stage["down"]["b"])
+                if "down_norm" in stage:
+                    y = tx.channel_norm_t(y, stage["down_norm"]["w"],
+                                          stage["down_norm"]["b"])
+                return y
+        else:
+            def down_fn(h, stage=stage):
+                y = conv1d_strided_matmul(h, stage["down"]["w"],
+                                          stage["down"]["b"])
+                if "down_norm" in stage:
+                    y = channel_norm(y, stage["down_norm"]["w"],
+                                     stage["down_norm"]["b"])
+                return y
         f = jax.jit(down_fn)
         dt = timeit(f, h); total += dt
         h = f(h)
         print(f"stage{si} down x{stride:<2d} {dt*1e3:8.2f} ms   -> {h.shape}")
+
+    if in_t:
+        f = jax.jit(tx.from_t)
+        dt = timeit(f, h); total += dt
+        print(f"from_t          {dt*1e3:8.2f} ms   shape={h.shape}")
+        h = f(h); in_t = False
 
     def last_fn(h):
         for unit in ep["last_units"]:
