@@ -117,7 +117,8 @@ def _up_path(stage: dict, h: jnp.ndarray, stride: int, in_t: bool) -> jnp.ndarra
 
 
 def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
-                  drop_path_rate: float = 0.0, rng=None) -> jnp.ndarray:
+                  drop_path_rate: float = 0.0, rng=None,
+                  tail_high_precision: bool = False) -> jnp.ndarray:
     """x: (B, T', feature_dim) -> (B, T' * prod(decode_rates), 1).
 
     Wide stages run channels-last; once the working dim drops to
@@ -156,8 +157,23 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
     if not in_t:  # tiny/debug geometries that never narrow
         h = tx.to_t(h)
 
+    # Reference LastBlock fp64 flag (l3ac/modules.py:119-132): the whole tail
+    # (tail units + snake + out conv + tanh) runs in float64 and the result is
+    # cast back to the ambient dtype. OFF in every released config
+    # (modules.py:196); present for 100% component coverage. True float64
+    # requires jax_enable_x64 (otherwise jnp silently degrades f64 -> f32,
+    # which equals the OFF path). The fp64 tail takes the jnp route — the
+    # Pallas tail kernel is bf16/f32-only by design.
+    ambient = h.dtype
+    if tail_high_precision:
+        cast = lambda t: jax.tree.map(lambda a: a.astype(jnp.float64), t)
+        h = h.astype(jnp.float64)
+        p = dict(p, tail_units=cast(p["tail_units"]),
+                 tail_alpha=cast(p["tail_alpha"]),
+                 out_conv=cast(p["out_conv"]))
+
     if mc.decoder_last_layer == "legacy":
-        if pk.enabled():
+        if pk.enabled() and not tail_high_precision:
             # whole tail (3 legacy units + snake + out conv + tanh) fused
             from ..parallel import sp
             if sp.active():
@@ -181,4 +197,5 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
 
     h = tx.snake_t(h, p["tail_alpha"])
     h = tx.conv1d_t(h, p["out_conv"]["w"], p["out_conv"]["b"], padding=3)
-    return jnp.tanh(h).reshape(h.shape[0], h.shape[2], 1)
+    h = jnp.tanh(h).astype(ambient)
+    return h.reshape(h.shape[0], h.shape[2], 1)

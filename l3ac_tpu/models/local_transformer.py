@@ -232,6 +232,34 @@ def compressed_encoder_apply(p: dict, x: jnp.ndarray, mc) -> jnp.ndarray:
     return local_trans_apply(p["post_trans"], x, cfgs["post"])
 
 
+def init_up_trans_v1(key, tc: TransConfig, rate: int, dtype=jnp.float32) -> dict:
+    """UpTransV1 (reference ``l3ac/local_trans.py:97-111``): token upsampler
+    that INTERLEAVES ``rate - 1`` learned tokens after every input token and
+    runs a LocalTrans over the widened sequence. Dead code in the reference
+    (no released config selects it — all use UpTransV2's linear upsample), but
+    part of the component surface; implemented for 100% coverage.
+
+    ``tc.window_size`` is the post-interleave window (the ctor's
+    ``window_size``; the reference asserts it divisible by ``rate``)."""
+    assert tc.window_size % rate == 0
+    k0, k1 = jax.random.split(key)
+    # torch.randn(1, 1, C) per learned token (std-normal init)
+    tokens = jax.random.normal(k0, (rate - 1, tc.dim), dtype=dtype)
+    return {"tokens": tokens, "trans": init_local_trans(k1, tc, dtype)}
+
+
+def up_trans_v1_apply(p: dict, x: jnp.ndarray, tc: TransConfig,
+                      rate: int) -> jnp.ndarray:
+    """x: (B, T, C) -> (B, T*rate, C). torch semantics: ``stack([x, tok_1, ...,
+    tok_{rate-1}], dim=2).reshape(B, T*rate, C)`` — each input token is followed
+    by the rate-1 learned tokens — then LocalTrans."""
+    B, T, C = x.shape
+    cols = [x] + [jnp.broadcast_to(p["tokens"][i].astype(x.dtype), x.shape)
+                  for i in range(rate - 1)]
+    h = jnp.stack(cols, axis=2).reshape(B, T * rate, C)
+    return local_trans_apply(p["trans"], h, tc)
+
+
 def init_compressed_decoder(key, mc, dtype=jnp.float32) -> dict:
     cfgs = compressed_decoder_configs(mc)
     k0, k1 = jax.random.split(key)

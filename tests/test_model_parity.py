@@ -150,3 +150,60 @@ def test_param_counts_match_survey():
     assert count(p["encoder"]) == 869_316 - 3_900
     assert count(p["decoder"]) == 8_494_082 - 16_361
     assert count(p["quantizer"]) == 1_670
+
+
+def test_up_trans_v1_parity():
+    """UpTransV1 (reference ``l3ac/local_trans.py:97-111``) — the
+    interleave-learned-tokens upsampler. Dead code in the reference (all
+    released configs use UpTransV2) but part of the component surface: parity
+    against the reference class running on the torch oracle attention."""
+    from l3ac.local_trans import UpTransV1
+    from l3ac_tpu.models.local_transformer import (TransConfig,
+                                                   up_trans_v1_apply)
+    torch.manual_seed(7)
+    dim, rate, win, depth = 64, 3, 90, 2
+    ref = UpTransV1(feature_dim=dim, window_size=win, compress_rate=rate,
+                    depth=depth, use_dynamic_pos_bias=True).eval()
+    params = convert.convert_up_trans_v1(sd_of(ref), depth=depth, rate=rate)
+    tc = TransConfig(dim=dim, depth=depth, window_size=win, dynamic_pos=True)
+
+    x = RNG.standard_normal((2, 50, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()             # (2, 150, 64)
+    got = up_trans_v1_apply(params, jnp.asarray(x), tc, rate)
+    assert got.shape == want.shape == (2, 50 * rate, dim)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_last_block_high_precision_parity():
+    """The reference ``LastBlock`` fp64 flag (``l3ac/modules.py:119-132``) —
+    OFF in every released config (``:196``) but part of the component surface.
+    Parity of the ON state: torch decoder with its LastBlock flipped to
+    float64 vs ``decoder_apply(tail_high_precision=True)`` under x64."""
+    import jax
+
+    mc = get_config("debug").network_config
+    ref = make_ref_decoder(mc)
+    last = ref.blocks[-1]
+    last.high_precision = True
+    last.to(torch.float64)
+    params = convert.convert_checkpoint({"decoder": sd_of(ref)}, mc)["decoder"]
+
+    x = RNG.standard_normal((2, mc.feature_dim, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    xj = jnp.asarray(x.transpose(0, 2, 1))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        got64 = decoder_apply(params, xj, mc, tail_high_precision=True)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert np.asarray(got64).dtype == np.float32        # cast back to ambient
+    np.testing.assert_allclose(
+        np.asarray(got64).transpose(0, 2, 1), want, rtol=1e-4, atol=1e-5)
+
+    # and the flag is semantics-preserving: ON ~= OFF at fp32 tolerance
+    got32 = decoder_apply(params, xj, mc)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(got64),
+                               rtol=1e-3, atol=1e-4)
