@@ -174,6 +174,17 @@ class PyFramer:
         self._rr = rr
 
 
+def _put_global(x, sharding):
+    """``device_put`` that also works when ``sharding`` spans OTHER processes
+    (true multi-host serving): every process holds the same full-value ``x``
+    (the host loops run in lockstep) and contributes its addressable shards."""
+    if jax.process_count() > 1:
+        xn = np.asarray(x)
+        return jax.make_array_from_callback(xn.shape, sharding,
+                                            lambda idx: xn[idx])
+    return jax.device_put(x, sharding)
+
+
 def _make_framer(chunk_len: int, prefix_len: int, batch: int,
                  use_native: bool | None):
     from . import native as native_mod
@@ -243,7 +254,8 @@ class CodecServer:
 
     def __init__(self, models: dict, *, chunk_seconds: float = 5.0,
                  batch_size: int = 8, use_native: bool | None = None,
-                 aging_steps: int = 8, mesh=None, dp_axis: str = "dp"):
+                 aging_steps: int = 8, mesh=None, dp_axis: str = "dp",
+                 pcm16_output: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp_axis`` —
         data-parallel serving (BASELINE config 5). Every device step then
         packs ``batch_size * dp`` chunk-rows and shards them over ``dp_axis``
@@ -251,7 +263,16 @@ class CodecServer:
         hosts-x-leftover-chips axis of ``parallel.distributed.multihost_mesh``
         (DCN-aligned), so stream batches split across hosts while sp/tp
         collectives stay on ICI; on one host it shards across local chips.
+
+        ``pcm16_output``: decode lanes emit int16 PCM from the device (the
+        audio is tanh-bounded; 16-bit PCM is the 16 kHz serving/WAV format)
+        instead of float32 — halves device->host result traffic.
+        :meth:`audio` still returns float32 (dequantized by /32767); quality
+        cost is the PCM quantization floor (~3e-5 rms), far below the codec's
+        own reconstruction error. Default off: results stay bit-identical to
+        the sequential ``StreamCodec`` path.
         """
+        self.pcm16_output = pcm16_output
         self.batch_size = batch_size
         self.aging_steps = aging_steps
         self.mesh = mesh
@@ -286,7 +307,8 @@ class CodecServer:
 
             params = model.params
             if self._param_sharding is not None:
-                params = jax.device_put(params, self._param_sharding)
+                params = jax.tree.map(
+                    lambda a: _put_global(a, self._param_sharding), params)
 
             enc = _Lane(model=model, hop=hop, kind="enc",
                         framer=_make_framer(chunk_len, hop,
@@ -295,17 +317,24 @@ class CodecServer:
             enc.params = params
             self.lanes[f"{name}:enc"] = enc
 
+            def _dec_out(audio):
+                if not pcm16_output:
+                    return audio
+                return jnp.round(audio * 32767.0).astype(jnp.int16)
+
             di = _Lane(model=model, hop=hop, kind="dec_idx",
                        framer=_make_framer(tok_chunk, 1, self.rows_per_step,
                                            use_native))
-            di.run = jax.jit(partial(fcodec.decode_indices, mc=mc))
+            di.run = jax.jit(lambda p, x, _mc=mc: _dec_out(
+                fcodec.decode_indices(p, x, mc=_mc)))
             di.params = params
             self.lanes[f"{name}:dec_idx"] = di
 
             df = _Lane(model=model, hop=hop, kind="dec_feat", width=C,
                        framer=_make_framer(tok_chunk * C, C,
                                            self.rows_per_step, use_native))
-            df.run = jax.jit(partial(fcodec.decode, mc=mc))
+            df.run = jax.jit(lambda p, x, _mc=mc: _dec_out(
+                fcodec.decode(p, x, mc=_mc)))
             df.params = params
             self.lanes[f"{name}:dec_feat"] = df
 
@@ -420,16 +449,17 @@ class CodecServer:
         return True
 
     def _device_batch(self, x):
-        x = jnp.asarray(x)
         if self._row_sharding is not None:
-            x = jax.device_put(x, self._row_sharding)
-        return x
+            return _put_global(x, self._row_sharding)
+        return jnp.asarray(x)
 
     def _step_encode(self, lane, rows, batch, sids, cids, valid):
         # dispatch only — jax arrays are futures; the host loop keeps feeding
         # the device and results scatter later in _collect() (one sync per
         # drain instead of one per step)
         _, idx = lane.run(lane.params, self._device_batch(batch))
+        if rows < idx.shape[0] and idx.is_fully_addressable:
+            idx = idx[:rows]        # don't ship dead padding rows to the host
         self._inflight.append(("enc", lane, idx, rows, None,
                                sids.copy(), cids.copy(), valid.copy()))
 
@@ -452,13 +482,56 @@ class CodecServer:
                 xin = self._device_batch(x.reshape(x.shape[0], n_tok,
                                                    lane.width))
             audio = lane.run(lane.params, xin)
+            if len(rs) < audio.shape[0] and audio.is_fully_addressable:
+                audio = audio[:len(rs)]  # drop padding rows before transfer
             self._inflight.append(("dec", lane, audio, len(rs), rs,
                                    sids.copy(), cids.copy(), valid.copy()))
 
+    def _fetch_inflight(self) -> list:
+        """One host copy of every in-flight device result, minimizing the
+        NUMBER of device->host transfers: same-shape results are stacked on
+        device and fetched as one array (transfer count, not bytes, dominates
+        on latency-bound links; on PCIe the async-copy hints overlap the
+        copies with still-running compute). Stack programs compile once per
+        (shape, count) — bounded by the chunk-shape palette times the batch
+        fan-in, and cached by XLA."""
+        if jax.process_count() > 1:
+            # multi-host: results are globally sharded; allgather each to
+            # every host (the host loops run in lockstep and all need the
+            # full rows for framer bookkeeping)
+            from jax.experimental import multihost_utils
+            return [np.asarray(multihost_utils.process_allgather(
+                        item[2], tiled=True))
+                    for item in self._inflight]
+        groups: dict[tuple, list[int]] = {}
+        for i, item in enumerate(self._inflight):
+            arr = item[2]
+            groups.setdefault((arr.shape, str(arr.dtype)), []).append(i)
+        stacks = []
+        for idxs in groups.values():
+            if len(idxs) == 1:
+                stacks.append((idxs, self._inflight[idxs[0]][2]))
+            else:
+                stacks.append((idxs, jnp.stack(
+                    [self._inflight[i][2] for i in idxs])))
+        for _, s in stacks:
+            if hasattr(s, "copy_to_host_async"):
+                s.copy_to_host_async()
+        fetched: list = [None] * len(self._inflight)
+        for idxs, s in stacks:
+            host = np.asarray(s)
+            if len(idxs) == 1:
+                fetched[idxs[0]] = host
+            else:
+                for j, i in enumerate(idxs):
+                    fetched[i] = host[j]
+        return fetched
+
     def _collect(self) -> None:
         """Scatter all dispatched device results into stream bookkeeping."""
-        for kind, lane, arr, rows, rs, sids, cids, valid in self._inflight:
-            arr = np.asarray(arr)
+        fetched = self._fetch_inflight()
+        for arr, (kind, lane, _, rows, rs, sids, cids, valid) in zip(
+                fetched, self._inflight):
             if kind == "enc":
                 for r in range(rows):
                     st = self.streams[lane.handles[int(sids[r])]]
@@ -501,6 +574,8 @@ class CodecServer:
         assert not st.lane.endswith(":enc"), "audio() is for decode streams"
         assert st.done, "stream not finished/processed; call drain() or step()"
         out = np.concatenate([st.out[c] for c in sorted(st.out)])
+        if out.dtype == np.int16:      # pcm16_output lanes: dequantize
+            out = out.astype(np.float32) / 32767.0
         return out[:st.length] if st.length is not None else out
 
     # -- restartable server state (minimal elastic recovery, SURVEY §5) -----

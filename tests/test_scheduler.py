@@ -382,3 +382,26 @@ def test_pyframer_matches_native_framer():
     for key in rp:
         assert rp[key][0] == rn[key][0], key
         np.testing.assert_array_equal(rp[key][1], rn[key][1], err_msg=str(key))
+
+
+def test_pcm16_output_close_to_float():
+    """pcm16_output=True: decode lanes emit int16 PCM from the device and
+    audio() dequantizes — results within the 16-bit quantization floor of the
+    float path (the serving/WAV output format; halves d2h result traffic)."""
+    models = _models()
+    ref = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=4,
+                      use_native=False)
+    pcm = CodecServer(models, chunk_seconds=CHUNK_SECONDS, batch_size=4,
+                      use_native=False, pcm16_output=True)
+    audio = _audio(0.31)
+    eh = ref.submit("debug", audio)
+    ref.drain()
+    toks = ref.tokens(eh)
+    wh = ref.submit_decode("debug", indices=toks, length=len(audio))
+    ref.drain()
+    want = ref.audio(wh)
+    hp = pcm.submit_decode("debug", indices=toks, length=len(audio))
+    pcm.drain()
+    got = pcm.audio(hp)
+    assert got.dtype == np.float32
+    assert np.max(np.abs(got - want)) <= 1.0 / 32767.0

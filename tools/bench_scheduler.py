@@ -45,6 +45,10 @@ def main():
                          "deployment should do")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--chunk-seconds", type=float, default=5.0)
+    ap.add_argument("--pcm16", action="store_true",
+                    help="decode lanes emit int16 PCM from the device (the "
+                         "16 kHz serving/WAV format; halves d2h result "
+                         "traffic — quantization floor ~3e-5 rms)")
     ap.add_argument("--exact-sine", action="store_true",
                     help="exact Mosaic sin instead of the production fast "
                          "polynomial (see bench.py / BENCH_NOTES.md)")
@@ -58,7 +62,7 @@ def main():
           f"fast_sine={not args.exact_sine}")
     models = {name: get_model(name, pretrained=False) for name in args.models}
     server = CodecServer(models, chunk_seconds=args.chunk_seconds,
-                         batch_size=args.batch)
+                         batch_size=args.batch, pcm16_output=args.pcm16)
 
     # one fixed length distribution reused by both waves so wave B's decode
     # tail shapes are exactly the ones wave A compiled
