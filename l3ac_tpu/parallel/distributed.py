@@ -23,8 +23,12 @@ log = logging.getLogger("l3ac_tpu")
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Initialize jax.distributed (no-op if single-process or already up)."""
-    if jax.process_count() > 1:
+    """Initialize jax.distributed (no-op if single-process or already up).
+
+    Must run before anything touches the XLA backend — so the already-up
+    check uses ``jax.distributed.is_initialized()``, NOT ``process_count()``
+    (which would itself initialize the backend)."""
+    if jax.distributed.is_initialized():
         return
     if coordinator_address is None and num_processes is None:
         return  # single-process; nothing to do

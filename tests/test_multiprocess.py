@@ -1,0 +1,46 @@
+"""TRUE multi-process multihost test (VERDICT r3 item 7): two OS processes,
+``jax.distributed.initialize`` over a local TCP coordinator, 2 virtual CPU
+devices per process, a 4-way dp mesh spanning both, the cross-process barrier,
+and a dp-sharded CodecServer roundtrip that must match the sequential path.
+The worker body lives in ``tests/_mp_worker.py``."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_dp_serving():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(REPO / "tests" / "_mp_worker.py"),
+         str(port), str(i), "2"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process workers timed out:\n" +
+                    "\n".join(o or "" for o in outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MP_OK {i} procs=2 devices=4" in out, out
