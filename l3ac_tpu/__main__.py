@@ -76,6 +76,18 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    from .trainer import train
+
+    train(args.config, steps=args.steps, batch=args.batch,
+          seconds=args.seconds, tokens=args.tokens, dp=args.dp, sp=args.sp,
+          tp=args.tp, lr=args.lr, spectral=args.spectral,
+          drop_path_rate=args.drop_path, seed=args.seed, wav_dir=args.wav_dir,
+          ckpt_dir=args.ckpt_dir, save_every=args.save_every,
+          resume=args.resume)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m l3ac_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -100,9 +112,38 @@ def main(argv=None) -> int:
                    help="override the model recorded in the token file")
     p.add_argument("--pretrained", action="store_true")
 
+    p = sub.add_parser(
+        "train", help="train on a (dp, sp, tp) mesh with optax + spectral "
+                      "loss, orbax sharded checkpoints, --resume restart")
+    p.add_argument("--config", default="debug")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--seconds", type=float, default=None,
+                   help="clip length (rounded down to a hop multiple); "
+                        "default --tokens")
+    p.add_argument("--tokens", type=int, default=8,
+                   help="clip length in codec tokens (hop multiples)")
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--spectral", action="store_true",
+                   help="add multi-resolution STFT + log-mel losses")
+    p.add_argument("--drop-path", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wav-dir", default=None,
+                   help="train on random crops from *.wav here (synthetic "
+                        "noise feed otherwise)")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="orbax sharded checkpoint every K steps")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in --ckpt-dir")
+
     args = ap.parse_args(argv)
     return {"list": cmd_list, "info": cmd_info,
-            "encode": cmd_encode, "decode": cmd_decode}[args.command](args)
+            "encode": cmd_encode, "decode": cmd_decode,
+            "train": cmd_train}[args.command](args)
 
 
 if __name__ == "__main__":
