@@ -60,23 +60,33 @@ def _sp_halos(x, *, axis: int, dilation: int = 1, kernel_size: int = 7):
     return sp.halo_blocks(x, halo, halo, axis=axis)
 
 
+def _maybe_drop(x, out, drop_rate, rng):
+    """Apply train-only stochastic depth to a residual output ``out = x +
+    branch``: the branch is recovered as ``out - x`` so drop-path composes
+    with the FUSED kernel paths too (no train-time perf cliff from falling
+    back to the jnp branch)."""
+    if drop_rate > 0.0 and rng is not None:
+        from ..ops.droppath import drop_path
+        return x + drop_path(rng, out - x, drop_rate)
+    return out
+
+
 def residual_conv_unit_apply(p: dict, x: jnp.ndarray, *, drop_rate: float = 0.0,
                              rng=None, **kw) -> jnp.ndarray:
     from ..ops import pallas as pk
-    if drop_rate > 0.0 and rng is not None:  # train-only stochastic depth
-        from ..ops.droppath import drop_path
-        return x + drop_path(rng, conv_unit_apply(p, x, **kw), drop_rate)
     if pk.enabled() and "w" in p["pw1"]:  # dense weights only
         lh, rh = _sp_halos(x, axis=1, **kw)
         itp = pk.interpret_default()
         # natural layout for wide channels; transposed (time-in-lanes) layout
         # for narrow ones (measured crossover on v5e)
         if x.shape[-1] >= 96:
-            return pk.conv_unit.conv_unit(x, p, lh=lh, rh=rh, interpret=itp,
-                                          **kw)
-        return pk.conv_unit.conv_unit_t(x, p, lh=lh, rh=rh, interpret=itp,
-                                        **kw)
-    return x + conv_unit_apply(p, x, **kw)
+            out = pk.conv_unit.conv_unit(x, p, lh=lh, rh=rh, interpret=itp,
+                                         **kw)
+        else:
+            out = pk.conv_unit.conv_unit_t(x, p, lh=lh, rh=rh, interpret=itp,
+                                           **kw)
+        return _maybe_drop(x, out, drop_rate, rng)
+    return _maybe_drop(x, x + conv_unit_apply(p, x, **kw), drop_rate, rng)
 
 
 def _dense_w(p: dict, dtype) -> jnp.ndarray:
@@ -111,15 +121,13 @@ def residual_conv_unit_apply_t(p: dict, x: jnp.ndarray, *,
                                drop_rate: float = 0.0, rng=None,
                                **kw) -> jnp.ndarray:
     from ..ops import pallas as pk
-    if drop_rate > 0.0 and rng is not None:
-        from ..ops.droppath import drop_path
-        return x + drop_path(rng, conv_unit_apply_t(p, x, **kw), drop_rate)
     if pk.enabled() and "w" in p["pw1"]:
         lh, rh = _sp_halos(x, axis=2, **kw)
-        return pk.conv_unit.conv_unit_ct(x, p, lh=lh, rh=rh,
-                                         interpret=pk.interpret_default(),
-                                         **kw)
-    return x + conv_unit_apply_t(p, x, **kw)
+        out = pk.conv_unit.conv_unit_ct(x, p, lh=lh, rh=rh,
+                                        interpret=pk.interpret_default(),
+                                        **kw)
+        return _maybe_drop(x, out, drop_rate, rng)
+    return _maybe_drop(x, x + conv_unit_apply_t(p, x, **kw), drop_rate, rng)
 
 
 def init_legacy_unit(key, dim: int, *, dilation: int = 1, kernel_size: int = 7,

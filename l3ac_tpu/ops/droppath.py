@@ -31,6 +31,12 @@ def schedule(rate: float, n: int, rng, *, ascending: bool = True) -> list:
     """Per-unit ``(drop_rate, rng)`` pairs, torch.linspace scheduling:
     encoder ramps 0 -> rate (reference ``l3ac/modules.py:89``), decoder
     rate -> 0 (``:153``). With ``rate`` 0 or no ``rng``: all inert."""
+    if not isinstance(rate, (int, float)):
+        raise TypeError(
+            "drop_path_rate must be a static Python float (it selects the "
+            "per-unit schedule at trace time); got a traced value of type "
+            f"{type(rate).__name__} — close it over the jitted function "
+            "instead of passing it as an argument")
     if rate <= 0.0 or rng is None or n == 0:
         return [(0.0, None)] * n
     denom = max(n - 1, 1)

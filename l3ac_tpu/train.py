@@ -116,23 +116,32 @@ def sgd_update(params, grads, lr: float):
     return jax.tree.map(lambda p, g: p - lr * g, params, grads)
 
 
-def make_train_step(mc: ModelConfig, lr: float = 1e-4, optimizer=None):
+def make_train_step(mc: ModelConfig, lr: float = 1e-4, optimizer=None,
+                    drop_path_rate: float = 0.0):
     """Single-device train step. With ``optimizer`` (an optax GradientTransformation),
-    returns (params, opt_state, metrics); otherwise plain SGD."""
+    returns (params, opt_state, metrics); otherwise plain SGD.
+
+    ``drop_path_rate`` (static float, captured at build time) > 0 enables
+    stochastic depth + FSQ noise: the returned step then takes a trailing
+    ``rng`` argument (``step(params, [opt_state,] audio, rng)``)."""
+
+    def _loss(params, audio, rng):
+        return loss_fn(params, audio, mc, rng=rng,
+                       drop_path_rate=drop_path_rate)
 
     if optimizer is None:
         @jax.jit
-        def step(params, audio):
+        def step(params, audio, rng=None):
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, audio, mc)
+                _loss, has_aux=True)(params, audio, rng)
             return sgd_update(params, grads, lr), metrics
 
         return step
 
     @jax.jit
-    def step(params, opt_state, audio):
+    def step(params, opt_state, audio, rng=None):
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, audio, mc)
+            _loss, has_aux=True)(params, audio, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)
@@ -142,7 +151,8 @@ def make_train_step(mc: ModelConfig, lr: float = 1e-4, optimizer=None):
 
 
 def make_sharded_train_step(mesh: Mesh, mc: ModelConfig, lr: float = 1e-4,
-                            optimizer=None, spectral: bool = False):
+                            optimizer=None, spectral: bool = False,
+                            drop_path_rate: float = 0.0):
     """Full train step jitted over a (dp, sp, tp) mesh.
 
     Returns (step_fn, shard_params_fn, audio_sharding). The step does
@@ -153,30 +163,33 @@ def make_sharded_train_step(mesh: Mesh, mc: ModelConfig, lr: float = 1e-4,
     returns ``opt_state`` (init it AFTER ``shard_params`` so its moment
     pytrees inherit the param shardings via ``zeros_like``); plain SGD
     otherwise. ``spectral``: add the multi-resolution STFT + log-mel terms.
+    ``drop_path_rate`` (static float) > 0 enables stochastic depth + FSQ
+    noise; the step then takes a trailing ``rng`` argument.
     """
 
-    def _constrained_loss(params, audio):
+    def _constrained_loss(params, audio, rng):
         # batch over dp, time over sp. GSPMD inserts the conv halo exchanges
         # and attention-window reshard collectives for the spatially sharded
         # time axis (the explicit-ppermute inference path lives in
         # models.codec.encode_sp/decode_sp).
         audio = jax.lax.with_sharding_constraint(
             audio, NamedSharding(mesh, P("dp", "sp")))
-        return loss_fn(params, audio, mc, spectral=spectral)
+        return loss_fn(params, audio, mc, rng=rng, spectral=spectral,
+                       drop_path_rate=drop_path_rate)
 
     if optimizer is None:
         @partial(jax.jit, donate_argnums=(0,))
-        def step(params, audio):
+        def step(params, audio, rng=None):
             (loss, metrics), grads = jax.value_and_grad(
-                _constrained_loss, has_aux=True)(params, audio)
+                _constrained_loss, has_aux=True)(params, audio, rng)
             return sgd_update(params, grads, lr), metrics
     else:
         import optax
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, audio):
+        def step(params, opt_state, audio, rng=None):
             (loss, metrics), grads = jax.value_and_grad(
-                _constrained_loss, has_aux=True)(params, audio)
+                _constrained_loss, has_aux=True)(params, audio, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, metrics
 

@@ -77,13 +77,14 @@ def test_bf16_end_to_end_index_stability(name):
 
 
 @pytest.mark.slow
-def test_bf16_released_geometry_index_stability_and_decode():
-    """bf16 behavior at the RELEASED 1kbps geometry (VERDICT r2 item 7), not
-    just the debug toy: index agreement >= 95% at random init (trained
+@pytest.mark.parametrize("name", ["0k75bps", "1kbps", "1k5bps", "3kbps"])
+def test_bf16_released_geometry_index_stability_and_decode(name):
+    """bf16 behavior at every RELEASED geometry (VERDICT r2 item 7 / r3 item
+    4), not just the debug toy: index agreement >= 95% at random init (trained
     saturated weights are expected higher; the TPU-measured number is pinned
     in BENCH_NOTES so drift across rounds is visible) and same-index decode
     error bounded."""
-    cfg = get_config("1kbps")
+    cfg = get_config(name)
     mc = cfg.network_config
     p32 = fcodec.init_codec(jax.random.PRNGKey(0), mc, dtype=jnp.float32)
     pbf = _bf16(p32)

@@ -93,7 +93,7 @@ def test_full_forward_parity_debug(name):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["1kbps", "3kbps"])
+@pytest.mark.parametrize("name", ["0k75bps", "1kbps", "1k5bps", "3kbps"])
 def test_full_forward_parity_released_geometry(name):
     ref, mc = _ref_encodec(name)
     params = _convert(ref, mc)
@@ -110,7 +110,8 @@ def test_full_forward_parity_released_geometry(name):
                                rtol=1e-3, atol=2e-4)
 
 
-@pytest.mark.parametrize("name", ["debug", "1kbps", "3kbps"])
+@pytest.mark.parametrize("name", ["debug", "0k75bps", "1kbps", "1k5bps",
+                                  "3kbps"])
 def test_key_manifest_matches_oracle(name):
     """configs/<name>.keys.json (generated from the torch oracle,
     tools/gen_key_manifests.py) must exactly match the oracle model's state
@@ -240,3 +241,35 @@ class TestDropPath:
         )(params)
         leaves = jax.tree.leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["0k75bps", "1kbps", "1k5bps", "3kbps"])
+def test_file_level_checkpoint_acceptance(name, tmp_path):
+    """The EXACT README acceptance flow, end-to-end on disk (VERDICT r3 item
+    3): five per-module ``.pt`` state dicts (weight-norm parametrization keys
+    intact) written with ``torch.save`` into a model dir — the reference's
+    checkpoint layout (``l3ac/xtract/nn/module.py:36-54``) — then
+    ``L3AC.load_pretrained(model_path=...)`` -> ``convert_model_dir``
+    (strict, manifest-validated) -> full-forward parity vs the torch model
+    the files came from. Only the HTTP fetch itself remains network-gated."""
+    from l3ac_tpu.models.zoo import L3AC
+
+    ref, mc = _ref_encodec(name)
+    model_dir = tmp_path / name
+    model_dir.mkdir()
+    for mod_name, mod in ref.trainable_modules.items():
+        torch.save(mod.state_dict(), model_dir / f"{mod_name}.pt")
+
+    model = L3AC(get_config(name)).load_pretrained(model_path=model_dir)
+
+    audio = (RNG.standard_normal((1, mc.hop_length * 8)) * 0.3
+             ).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(audio))
+    got = jcodec.forward(model.params, jnp.asarray(audio), mc)
+    np.testing.assert_array_equal(np.asarray(got["indices"]),
+                                  want["indices"].numpy())
+    np.testing.assert_allclose(np.asarray(got["generated_audio"]),
+                               want["generated_audio"].numpy(),
+                               rtol=1e-3, atol=2e-4)

@@ -35,7 +35,8 @@ def timeit(fn, x, k1=5, k2=45):
     float(run(x, iters=k1)); float(run(x, iters=k2))
     t0 = time.perf_counter(); float(run(x, iters=k1)); t1 = time.perf_counter()
     float(run(x, iters=k2)); t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+    # clamp at 0: sub-resolution stages can come out slightly negative
+    return max(0.0, ((t2 - t1) - (t1 - t0)) / (k2 - k1))
 
 
 SHAPES = [  # (B, T, C) decoder stages at 10 s batch 8, 1kbps

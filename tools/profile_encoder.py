@@ -48,7 +48,10 @@ def timeit(fn, x, k1=5, k2=45):
     float(run(x, iters=k1)); float(run(x, iters=k2))
     t0 = time.perf_counter(); float(run(x, iters=k1)); t1 = time.perf_counter()
     float(run(x, iters=k2)); t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+    # clamp at 0: near-zero-cost stages land inside the two-point method's
+    # noise floor and can come out slightly negative (ADVICE r3) — report
+    # them as ~0 rather than as a self-contradictory negative time
+    return max(0.0, ((t2 - t1) - (t1 - t0)) / (k2 - k1))
 
 
 def main():
