@@ -76,12 +76,18 @@ def init_decoder(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
     return p
 
 
-def _up_path(stage: dict, h: jnp.ndarray, stride: int, in_t: bool) -> jnp.ndarray:
+def _up_path(stage: dict, h: jnp.ndarray, stride: int, in_t: bool, *,
+             phase_split: bool = False):
     """Stage up path: 1x1 conv -> linear upsample x stride -> ChannelNorm.
 
     Dispatches to the fused Pallas kernel (``ops/pallas/upsample.py``) on
     accelerators; jnp chain otherwise. Under SP the kernel consumes neighbor
     boundary columns (torch's edge clamp applies only at the global edges).
+
+    ``phase_split=True`` (transposed kernel branch only): return the kernel's
+    finished phase arrays as a tuple instead of interleaving — the caller
+    checks ``isinstance(ret, tuple)`` and feeds the polyphase tail; any
+    fallback branch returns the interleaved array as usual.
     """
     from ..ops import pallas as pk
     from ..parallel import sp
@@ -97,11 +103,16 @@ def _up_path(stage: dict, h: jnp.ndarray, stride: int, in_t: bool) -> jnp.ndarra
             rh = jnp.where(edge[1] == 1, last, rh)
         else:
             lh = rh = None
-        f = pk.upsample.up_fused_ct if in_t else pk.upsample.up_fused
         nw = stage["up_norm"]["w"] if "up_norm" in stage else None
         nb = stage["up_norm"]["b"] if "up_norm" in stage else None
-        return f(h, stage["up_conv"]["w"], stage["up_conv"]["b"], nw, nb,
-                 scale=stride, lh=lh, rh=rh, interpret=pk.interpret_default())
+        if in_t:
+            return pk.upsample.up_fused_ct(
+                h, stage["up_conv"]["w"], stage["up_conv"]["b"], nw, nb,
+                scale=stride, lh=lh, rh=rh, interpret=pk.interpret_default(),
+                phase_split=phase_split)
+        return pk.upsample.up_fused(
+            h, stage["up_conv"]["w"], stage["up_conv"]["b"], nw, nb,
+            scale=stride, lh=lh, rh=rh, interpret=pk.interpret_default())
     if in_t:
         h = tx.conv1x1_t(h, stage["up_conv"]["w"], stage["up_conv"]["b"])
         h = tx.upsample_linear_t(h, stride)
@@ -136,8 +147,18 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
                                 ascending=False))
     h = conv1d(x, p["in_conv"]["w"], p["in_conv"]["b"], padding=1)
     in_t = False
-    for stage, stride, i_d in zip(p["stages"], mc.decode_rates,
-                                  mc.decoder_dims[:-1]):
+    # polyphase fast path: when the last stage's fused up kernel runs at
+    # stride 2 and feeds the fused legacy tail, hand the tail the kernel's
+    # phase-split outputs directly — the stage-3 lane interleave and the
+    # tail's re-read of it disappear (all released configs end in stride 2)
+    want_poly = (mc.decoder_last_layer == "legacy" and pk.enabled()
+                 and not tail_high_precision and mc.decode_rates
+                 and mc.decode_rates[-1] == 2)
+    phases = None
+    n_stages = len(p["stages"])
+    for si, (stage, stride, i_d) in enumerate(zip(p["stages"],
+                                                  mc.decode_rates,
+                                                  mc.decoder_dims[:-1])):
         if not in_t and i_d <= NARROW_MAX_C:
             h = tx.to_t(h)
             in_t = True
@@ -146,7 +167,12 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
                 r, k = next(dp)
                 h = residual_conv_unit_apply_t(unit, h, drop_rate=r, rng=k)
             h = enhance_block_apply_t(stage["enhance"], h)
-            h = _up_path(stage, h, stride, in_t=True)
+            ret = _up_path(stage, h, stride, in_t=True,
+                           phase_split=want_poly and si == n_stages - 1)
+            if isinstance(ret, tuple):
+                phases = ret
+            else:
+                h = ret
         else:
             for unit in stage["units"]:
                 r, k = next(dp)
@@ -173,6 +199,20 @@ def decoder_apply(p: dict, x: jnp.ndarray, mc: ModelConfig, *,
                  out_conv=cast(p["out_conv"]))
 
     if mc.decoder_last_layer == "legacy":
+        if phases is not None:
+            from ..parallel import sp
+            x0, x1 = phases
+            ph = pk.legacy_tail.PHALO
+            if sp.active():
+                lh0, rh0 = sp.halo_blocks(x0, ph, ph, axis=2)
+                lh1, rh1 = sp.halo_blocks(x1, ph, ph, axis=2)
+                return pk.legacy_tail.legacy_tail_poly_ct(
+                    x0, x1, p["tail_units"], p["tail_alpha"], p["out_conv"],
+                    lh=(lh0, lh1), rh=(rh0, rh1), edges=sp.edge_flags(),
+                    interpret=pk.interpret_default())
+            return pk.legacy_tail.legacy_tail_poly_ct(
+                x0, x1, p["tail_units"], p["tail_alpha"], p["out_conv"],
+                interpret=pk.interpret_default())
         if pk.enabled() and not tail_high_precision:
             # whole tail (3 legacy units + snake + out conv + tanh) fused
             from ..parallel import sp

@@ -32,6 +32,7 @@ from . import _math
 
 DILATIONS = (1, 3, 9)
 HALO = 3 * sum(DILATIONS) + 3  # 42
+PHALO = HALO // 2              # per-phase halo of the polyphase variant
 
 
 def _snake(x, a):
@@ -99,6 +100,163 @@ def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, bounds_ref, a1_ref, w1t_ref,
     hp = jnp.pad(h, ((0, 0), (3, 3)))
     y = _conv_lanes(hp, wot_ref[...], bo_ref[...], 1, R, jnp.float32)
     o_ref[0] = jnp.tanh(y[:, HALO:HALO + S]).astype(o_ref.dtype)
+
+
+def _kernel_poly(x0p_ref, x0c_ref, x0n_ref, x1p_ref, x1c_ref, x1n_ref,
+                 lh0_ref, lh1_ref, bounds_ref, a1_ref, w1t_ref, b1_ref,
+                 a2_ref, w2t_ref, b2_ref, ao_ref, wot_ref, bo_ref,
+                 o0_ref, o1_ref, *, n_tiles: int):
+    """Polyphase (stride-2) tail: the whole chain runs on the two phase
+    arrays of the up-path's output WITHOUT ever materializing the interleaved
+    sequence. A k-tap conv at dilation d over interleaved time decomposes
+    exactly into per-phase taps with static phase routing:
+
+        y_q[t] = sum_k w[k] . x_{(q+(k-3)d) mod 2}[t + (q+(k-3)d) // 2]
+
+    (all DILATIONS are odd, so each tap flips phase deterministically; the
+    identity is exercised bit-level by tests against the interleaved kernel).
+    """
+    t = pl.program_id(1)
+    C = x0c_ref.shape[1]
+    S = x0c_ref.shape[2]
+    R = S + 2 * PHALO
+    cdt = x0c_ref.dtype
+
+    xs = []
+    for xp_ref, xc_ref, xn_ref, lh_ref in (
+            (x0p_ref, x0c_ref, x0n_ref, lh0_ref),
+            (x1p_ref, x1c_ref, x1n_ref, lh1_ref)):
+        prev = xp_ref[0, :, S - PHALO:]
+        nxt = xn_ref[0, :, :PHALO]
+        prev = jnp.where(t == 0, lh_ref[0], prev)
+        nxt = jnp.where(t == n_tiles - 1, jnp.zeros_like(nxt), nxt)
+        xs.append(jnp.concatenate([prev, xc_ref[0], nxt], axis=1))
+
+    # validity in INTERLEAVED coordinates: working col j of phase q sits at
+    # n = 2*(t*S - PHALO + j) + q
+    cbase = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) + (t * S - PHALO)
+    valid = [(2 * cbase + q >= bounds_ref[0]) & (2 * cbase + q < bounds_ref[1])
+             for q in (0, 1)]
+    zero = jnp.zeros((), cdt)
+    x = [jnp.where(valid[q], xs[q], zero) for q in (0, 1)]
+
+    def conv_poly(h, wt, b, d, odt):
+        """k7 conv at (odd) dilation d on the phase pair; fp32 accumulation."""
+        pd = (3 * d + 1) // 2
+        hp = [jnp.pad(h[q], ((0, 0), (pd, pd))).astype(wt.dtype)
+              for q in (0, 1)]
+        outs = []
+        for q in (0, 1):
+            acc = jnp.broadcast_to(b.astype(jnp.float32), (wt.shape[1], R))
+            for k in range(7):
+                tot = q + (k - 3) * d
+                src, m = tot % 2, tot // 2
+                acc = acc + jnp.dot(wt[k], hp[src][:, pd + m:pd + m + R],
+                                    preferred_element_type=jnp.float32)
+            outs.append(acc.astype(odt))
+        return outs
+
+    for u, d in enumerate(DILATIONS):
+        h = [_snake(x[q], a1_ref[u].astype(cdt)) for q in (0, 1)]
+        h = conv_poly(h, w1t_ref[u], b1_ref[u], d, cdt)
+        h = [jnp.where(valid[q], h[q], zero) for q in (0, 1)]
+        h = [_snake(h[q], a2_ref[u].astype(cdt)) for q in (0, 1)]
+        h = [(jnp.dot(w2t_ref[u], h[q].astype(w2t_ref.dtype),
+                      preferred_element_type=jnp.float32) +
+              b2_ref[u].astype(jnp.float32)).astype(cdt) for q in (0, 1)]
+        x = [jnp.where(valid[q], x[q] + h[q], zero) for q in (0, 1)]
+
+    h = [_snake(x[q], ao_ref[0].astype(cdt)) for q in (0, 1)]
+    y = conv_poly(h, wot_ref[...], bo_ref[...], 1, jnp.float32)
+    o0_ref[0] = jnp.tanh(y[0][:, PHALO:PHALO + S]).astype(o0_ref.dtype)
+    o1_ref[0] = jnp.tanh(y[1][:, PHALO:PHALO + S]).astype(o1_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def legacy_tail_poly_ct(x0: jnp.ndarray, x1: jnp.ndarray, tail_units: list,
+                        tail_alpha, out_conv, *,
+                        lh: tuple | None = None, rh: tuple | None = None,
+                        edges: jnp.ndarray | None = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Polyphase tail input: even/odd phase arrays x0/x1 (B, C, Tt) of the
+    interleaved tail input (``x[.., 2t] == x0[.., t]``, e.g. straight from
+    ``upsample.up_fused_ct(phase_split=True)`` at scale 2) -> audio
+    (B, 2*Tt, 1). Exactly :func:`legacy_tail_ct`'s math with the stage-3
+    interleave relayout and its re-read deleted.
+
+    SP: ``lh``/``rh`` are PAIRS of (B, C, PHALO) per-phase neighbor boundary
+    blocks; ``edges`` the [is_first, is_last] flags as in legacy_tail_ct."""
+    B, C, Tt = x0.shape
+    assert x1.shape == (B, C, Tt)
+    assert (lh is None) == (rh is None) == (edges is None)
+    T = 2 * Tt
+    if rh is not None:
+        x0 = jnp.concatenate([x0, rh[0].astype(x0.dtype)], axis=2)
+        x1 = jnp.concatenate([x1, rh[1].astype(x1.dtype)], axis=2)
+    if lh is None:
+        lh0 = lh1 = jnp.zeros((B, C, PHALO), x0.dtype)
+    else:
+        lh0, lh1 = (lh[0].astype(x0.dtype), lh[1].astype(x0.dtype))
+        assert lh0.shape == (B, C, PHALO), lh0.shape
+    if edges is None:
+        bounds = jnp.asarray([0, T], jnp.int32)
+    else:
+        bounds = jnp.stack([
+            jnp.where(edges[0] == 1, 0, -HALO),
+            T + jnp.where(edges[1] == 1, 0, HALO)]).astype(jnp.int32)
+    Tin = x0.shape[2]
+    S = 2048
+    pad = (-Tin) % S
+    if pad:
+        x0 = jnp.pad(x0, ((0, 0), (0, 0), (0, pad)))
+        x1 = jnp.pad(x1, ((0, 0), (0, 0), (0, pad)))
+    NT = (Tin + pad) // S
+
+    a1 = jnp.stack([u["alpha1"] for u in tail_units])[..., None]
+    w1t = jnp.stack([u["conv1"]["w"] for u in tail_units]) \
+        .transpose(0, 1, 3, 2)
+    b1 = jnp.stack([u["conv1"]["b"] for u in tail_units])[..., None]
+    a2 = jnp.stack([u["alpha2"] for u in tail_units])[..., None]
+    w2t = jnp.stack([u["conv2"]["w"][0].T for u in tail_units])
+    b2 = jnp.stack([u["conv2"]["b"] for u in tail_units])[..., None]
+    ao = tail_alpha.reshape(1, -1, 1)
+    wot = out_conv["w"].transpose(0, 2, 1)
+    bo = out_conv["b"].reshape(1, 1)
+
+    def cur_map(b, t):
+        return (b, 0, t)
+
+    def prev_map(b, t):
+        return (b, 0, jnp.maximum(t - 1, 0))
+
+    def next_map(b, t):
+        return (b, 0, jnp.minimum(t + 1, NT - 1))
+
+    xspec = lambda imap: pl.BlockSpec((1, C, S), imap, memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    lhspec = pl.BlockSpec((1, C, PHALO), lambda b, t: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    consts = [a1, w1t, b1, a2, w2t, b2, ao, wot, bo]
+    ospec = pl.BlockSpec((1, 1, S), cur_map, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_poly, n_tiles=NT)
+    o0, o1 = pl.pallas_call(
+        kernel,
+        grid=(B, NT),
+        in_specs=[xspec(prev_map), xspec(cur_map), xspec(next_map)] * 2 +
+                 [lhspec, lhspec, bspec] + [full(a) for a in consts],
+        out_specs=[ospec, ospec],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, Tin + pad), x0.dtype)] * 2,
+        interpret=interpret,
+    )(x0, x0, x0, x1, x1, x1, lh0, lh1, bounds, *consts)
+    # 1-channel interleave of the two finished phase streams — the ONLY
+    # interleave left on the tail path (24x narrower than the old stage-3
+    # relayout)
+    out = jnp.stack([o0[:, 0], o1[:, 0]], axis=2)      # (B, Tin+pad, 2)
+    out = out.reshape(B, (Tin + pad) * 2, 1)
+    return out[:, :T]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -114,17 +114,24 @@ def _edge_cols(x, axis):
     return first, last
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "phase_split"))
 def up_fused_ct(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                 nw: jnp.ndarray | None, nb: jnp.ndarray | None, *,
                 scale: int, lh: jnp.ndarray | None = None,
                 rh: jnp.ndarray | None = None,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, phase_split: bool = False):
     """Transposed layout: x (B, Ci, T) -> (B, Co, T*scale).
 
     ``w``: (1, Ci, Co) conv weight, ``b``: (Co,). ``nw``/``nb``: ChannelNorm
     params or None. ``lh``/``rh``: (B, Ci, 1) neighbor boundary columns
     (sequence parallelism); None -> global edge clamp (own edge column).
+
+    ``phase_split=True`` returns the ``scale`` finished phase arrays
+    (each (B, Co, T), ``out[.., t*scale + p] == phases[p][.., t]``) WITHOUT
+    the lane-interleave stack — for consumers that can eat the polyphase
+    layout directly (``legacy_tail.legacy_tail_poly_ct``), deleting the
+    interleave relayout and its re-read.
     """
     B, Ci, T = x.shape
     Co = w.shape[2]
@@ -177,6 +184,8 @@ def up_fused_ct(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((B, Co, NT * S), x.dtype)] * scale,
         interpret=interpret,
     )(*args)
+    if phase_split:
+        return tuple(o[:, :, :T] for o in outs)
     out = jnp.stack(outs, axis=3).reshape(B, Co, NT * S * scale)
     return out[:, :, :T * scale]
 

@@ -218,3 +218,77 @@ def test_pallas_up_fused_halo_sharding():
     got = jnp.concatenate([out_l, out_r], axis=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(full),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_legacy_tail_poly_matches_interleaved():
+    """Polyphase tail (stride-2 phase-split inputs) == interleaved tail ==
+    jnp reference; plus the phase_split=True contract of up_fused_ct."""
+    from l3ac_tpu.config import get_config
+    from l3ac_tpu.models.decoder import init_decoder
+    from l3ac_tpu.ops.pallas.legacy_tail import legacy_tail_ct, \
+        legacy_tail_poly_ct
+
+    mc = get_config("debug").network_config
+    p = init_decoder(jax.random.PRNGKey(3), mc)
+    C = mc.decoder_dims[-1]
+    T = 5000
+    x = jnp.asarray(RNG.standard_normal((2, C, T)).astype(np.float32)) * 0.5
+
+    want = legacy_tail_ct(x, p["tail_units"], p["tail_alpha"], p["out_conv"],
+                          interpret=True)
+    got = legacy_tail_poly_ct(x[:, :, 0::2], x[:, :, 1::2], p["tail_units"],
+                              p["tail_alpha"], p["out_conv"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_up_fused_phase_split_contract():
+    from l3ac_tpu.ops.pallas import upsample as pk_up
+    k = jax.random.PRNGKey(9)
+    B, Ci, Co, T, scale = 2, 48, 24, 700, 2
+    x = jnp.asarray(RNG.standard_normal((B, Ci, T)).astype(np.float32))
+    w = jax.random.normal(k, (1, Ci, Co), jnp.float32) * 0.1
+    b = jnp.zeros((Co,))
+    inter = pk_up.up_fused_ct(x, w, b, None, None, scale=scale,
+                              interpret=True)
+    phases = pk_up.up_fused_ct(x, w, b, None, None, scale=scale,
+                               interpret=True, phase_split=True)
+    assert len(phases) == scale
+    for pi, ph in enumerate(phases):
+        np.testing.assert_allclose(np.asarray(ph),
+                                   np.asarray(inter[:, :, pi::scale]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_legacy_tail_poly_halo_sharding():
+    """Two half-shards of the polyphase tail with per-phase lh/rh halo
+    blocks + edge flags concatenate to the monolithic result (the SP
+    contract of models/decoder's phases branch)."""
+    from l3ac_tpu.config import get_config
+    from l3ac_tpu.models.decoder import init_decoder
+    from l3ac_tpu.ops.pallas.legacy_tail import PHALO, legacy_tail_poly_ct
+
+    mc = get_config("debug").network_config
+    p = init_decoder(jax.random.PRNGKey(3), mc)
+    C = mc.decoder_dims[-1]
+    Tt = 2000
+    x0 = jnp.asarray(RNG.standard_normal((2, C, Tt)).astype(np.float32)) * 0.5
+    x1 = jnp.asarray(RNG.standard_normal((2, C, Tt)).astype(np.float32)) * 0.5
+    args = (p["tail_units"], p["tail_alpha"], p["out_conv"])
+
+    full = legacy_tail_poly_ct(x0, x1, *args, interpret=True)
+
+    h = Tt // 2
+    zeros = jnp.zeros((2, C, PHALO), x0.dtype)
+    out_l = legacy_tail_poly_ct(
+        x0[:, :, :h], x1[:, :, :h], *args,
+        lh=(zeros, zeros), rh=(x0[:, :, h:h + PHALO], x1[:, :, h:h + PHALO]),
+        edges=jnp.asarray([1, 0], jnp.int32), interpret=True)
+    out_r = legacy_tail_poly_ct(
+        x0[:, :, h:], x1[:, :, h:], *args,
+        lh=(x0[:, :, h - PHALO:h], x1[:, :, h - PHALO:h]),
+        rh=(zeros, zeros), edges=jnp.asarray([0, 1], jnp.int32),
+        interpret=True)
+    got = jnp.concatenate([out_l, out_r], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)

@@ -134,6 +134,11 @@ def run_dtype(dtype, run: Runner):
                                pdec["tail_units"], pdec["tail_alpha"],
                                pdec["out_conv"])
     run.check("legacy_tail_ct (B2,C24,T8000)", got, want, tol)
+    xt = x32.astype(dtype).transpose(0, 2, 1)
+    got = pk_lt.legacy_tail_poly_ct(xt[:, :, 0::2], xt[:, :, 1::2],
+                                    pdec["tail_units"], pdec["tail_alpha"],
+                                    pdec["out_conv"])
+    run.check("legacy_tail_poly_ct (B2,C24,Tt4000)", got, want, tol)
 
     # --- local_attention: single-block (w=250) AND row-tiled (w=750) paths,
     # the 1kbps production windows (H=6, D=32)
