@@ -458,8 +458,11 @@ class CodecServer:
         # the device and results scatter later in _collect() (one sync per
         # drain instead of one per step)
         _, idx = lane.run(lane.params, self._device_batch(batch))
-        if rows < idx.shape[0] and idx.is_fully_addressable:
-            idx = idx[:rows]        # don't ship dead padding rows to the host
+        # NOT sliced to real rows: token results are tiny, and on
+        # latency-bound links a slice is an extra device program costing far
+        # more than the padding rows' bytes; unsliced results also share ONE
+        # shape per lane, so a whole drain stacks into one fetch per lane
+        # (decode keeps slicing — audio padding rows are megabytes)
         self._inflight.append(("enc", lane, idx, rows, None,
                                sids.copy(), cids.copy(), valid.copy()))
 

@@ -44,6 +44,11 @@ def main():
                          "lengths is the standard serving answer and what a "
                          "deployment should do")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="time N identical waves per direction and report "
+                         "each + the median (tunnel/host timing variance "
+                         "between processes is large; medians within one "
+                         "warmed process are the comparable number)")
     ap.add_argument("--chunk-seconds", type=float, default=5.0)
     ap.add_argument("--pcm16", action="store_true",
                     help="decode lanes emit int16 PCM from the device (the "
@@ -80,26 +85,39 @@ def main():
             total += len(audio) / sr
         return handles, total
 
-    # ---- encode: wave A warms, wave B is timed
+    import statistics
+
+    # ---- encode: wave A warms, waves B.. are timed
     wave_a, _ = submit_wave()
     server.drain()
-    wave_b, total_audio = submit_wave()
-    t0 = time.perf_counter()
-    server.drain()
-    enc_dt = time.perf_counter() - t0
+    enc_dts, wave_b, total_audio = [], None, 0.0
+    for _ in range(args.repeat):
+        wave_b, total_audio = submit_wave()
+        t0 = time.perf_counter()
+        server.drain()
+        enc_dts.append(time.perf_counter() - t0)
+    enc_dt = statistics.median(enc_dts)
     n_tokens = sum(len(server.tokens(h)) for _, _, h in wave_b)
 
-    # ---- decode: wave A's tokens warm every tail shape, wave B is timed
+    # ---- decode: wave A's tokens warm every tail shape, waves B.. are timed
     for name, length, h in wave_a:
         server.submit_decode(name, indices=server.tokens(h), length=length)
     server.drain()
-    dec_handles = [server.submit_decode(name, indices=server.tokens(h),
-                                        length=length)
-                   for name, length, h in wave_b]
-    t0 = time.perf_counter()
-    server.drain()
-    dec_dt = time.perf_counter() - t0
+    dec_dts, dec_handles = [], None
+    for _ in range(args.repeat):
+        dec_handles = [server.submit_decode(name, indices=server.tokens(h),
+                                            length=length)
+                       for name, length, h in wave_b]
+        t0 = time.perf_counter()
+        server.drain()
+        dec_dts.append(time.perf_counter() - t0)
+    dec_dt = statistics.median(dec_dts)
     out_samples = sum(len(server.audio(h)) for h in dec_handles)
+    if args.repeat > 1:
+        print("encode walls (ms):",
+              [round(d * 1e3, 1) for d in enc_dts])
+        print("decode walls (ms):",
+              [round(d * 1e3, 1) for d in dec_dts])
 
     print(f"streams/wave: {len(wave_b)} across {list(models)}  "
           f"audio: {total_audio:.1f}s  tokens: {n_tokens}  "

@@ -124,6 +124,26 @@ def main():
         print(f"stage{si} enhance  {dt*1e3:8.2f} ms")
         h = f(h)
 
+        from l3ac_tpu.ops import pallas as pk
+        last = si == len(dp["stages"]) - 1
+        # production route: the last stage hands the tail its PHASE-SPLIT
+        # outputs (no interleave); time the up+tail pair as one unit there
+        poly = (last and pk.enabled() and in_t and stride == 2
+                and mc.decoder_last_layer == "legacy")
+        if poly:
+            def up_tail_fn(h, stage=stage, stride=stride):
+                x0, x1 = fdec._up_path(stage, h, stride, in_t=True,
+                                       phase_split=True)
+                return pk.legacy_tail.legacy_tail_poly_ct(
+                    x0, x1, dp["tail_units"], dp["tail_alpha"],
+                    dp["out_conv"])
+            f = jax.jit(up_tail_fn)
+            dt = timeit(f, h)
+            total += dt
+            print(f"stage{si} up+tail (poly) {dt*1e3:8.2f} ms   "
+                  f"(phase-split x{stride} + fused tail)")
+            h = f(h)
+            break
         def up_fn(h, stage=stage, stride=stride, in_t=in_t):
             return fdec._up_path(stage, h, stride, in_t=in_t)
         f = jax.jit(up_fn)
@@ -131,17 +151,17 @@ def main():
         total += dt
         print(f"stage{si} up       {dt*1e3:8.2f} ms   -> x{stride}")
         h = f(h)
-
-    def tail_fn(h):
-        from l3ac_tpu.ops import pallas as pk
-        if pk.enabled():
-            return pk.legacy_tail.legacy_tail_ct(h, dp["tail_units"],
-                                                 dp["tail_alpha"], dp["out_conv"])
-        return h
-    f = jax.jit(tail_fn)
-    dt = timeit(f, h)
-    total += dt
-    print(f"tail            {dt*1e3:8.2f} ms   shape={h.shape}")
+    else:
+        def tail_fn(h):
+            from l3ac_tpu.ops import pallas as pk
+            if pk.enabled():
+                return pk.legacy_tail.legacy_tail_ct(
+                    h, dp["tail_units"], dp["tail_alpha"], dp["out_conv"])
+            return h
+        f = jax.jit(tail_fn)
+        dt = timeit(f, h)
+        total += dt
+        print(f"tail            {dt*1e3:8.2f} ms   shape={h.shape}")
     print(f"sum             {total*1e3:8.2f} ms")
 
     full = jax.jit(lambda x: fdec.decoder_apply(dp, x, mc))
