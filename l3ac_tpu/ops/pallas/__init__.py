@@ -32,8 +32,13 @@ def interpret_default() -> bool:
 
 
 def enabled() -> bool:
-    """Use Pallas kernels on accelerator backends unless L3AC_TPU_NO_PALLAS."""
+    """Use Pallas kernels on accelerator backends unless L3AC_TPU_NO_PALLAS.
+
+    The env var wins even under ``force_interpret`` — the trainer scopes
+    differentiation-unsafe kernels off with it (the kernels define no VJPs),
+    and that must hold when tests have forced interpret mode on."""
+    if os.environ.get("L3AC_TPU_NO_PALLAS"):
+        return False
     if _FORCE_INTERPRET:
         return True
-    return (jax.default_backend() != "cpu"
-            and not os.environ.get("L3AC_TPU_NO_PALLAS"))
+    return jax.default_backend() != "cpu"

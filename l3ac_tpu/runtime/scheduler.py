@@ -252,6 +252,11 @@ class CodecServer:
     the number of distinct tail lengths.
     """
 
+    #: wave-drain mega-batch palette cap: programs run at row counts
+    #: ``rows_per_step * 2^k`` for k = 0..MAX_WAVE_LOG2 (bounded compile
+    #: signatures; wave A of any steady workload warms them all)
+    MAX_WAVE_LOG2 = 3
+
     def __init__(self, models: dict, *, chunk_seconds: float = 5.0,
                  batch_size: int = 8, use_native: bool | None = None,
                  aging_steps: int = 8, mesh=None, dp_axis: str = "dp",
@@ -490,6 +495,106 @@ class CodecServer:
             self._inflight.append(("dec", lane, audio, len(rs), rs,
                                    sids.copy(), cids.copy(), valid.copy()))
 
+    # -- wave drain: mega-batched continuous batching at drain granularity --
+    def _wave_sizes(self, n: int) -> list[int]:
+        """Split ``n`` rows into palette program sizes (``rows_per_step *
+        2^k``, k <= MAX_WAVE_LOG2), preferring ONE padded program — on
+        latency-bound links (the axon tunnel measures ~15-25 ms dispatch
+        overhead PER program) program count dominates padding-row cost, and
+        on real PCIe bigger batches amortize dispatch all the same."""
+        cap = self.rows_per_step << self.MAX_WAVE_LOG2
+        out = []
+        while n > cap:
+            out.append(cap)
+            n -= cap
+        p = self.rows_per_step
+        while p < n:
+            p <<= 1
+        out.append(p)
+        return out
+
+    def _gather_ready(self, lane):
+        """Pull EVERY currently-ready chunk row out of a lane's framer."""
+        outs, sids_l, cids_l, valid_l = [], [], [], []
+        total = 0
+        while True:
+            rows, out, sids, cids, valid = lane.framer.next_batch()
+            if rows == 0:
+                break
+            total += rows
+            outs.append(out[:rows])
+            sids_l.append(sids[:rows])
+            cids_l.append(cids[:rows])
+            valid_l.append(valid[:rows])
+        if total == 0:
+            return 0, None, None, None, None
+        return (total, np.concatenate(outs), np.concatenate(sids_l),
+                np.concatenate(cids_l), np.concatenate(valid_l))
+
+    def _dispatch_wave(self) -> bool:
+        """Dispatch ONE wave: every ready chunk-row of every lane, packed
+        into the minimum number of palette-padded programs.
+
+        This is :meth:`step`'s continuous batching applied at drain
+        granularity: encode lanes share one row shape so a whole wave is
+        1-2 programs per lane; decode rows bucket by exact valid length
+        ACROSS the wave (not per batch_size step), so each distinct tail
+        length costs one program per drain instead of one per step. Row
+        results are independent in both directions (the decoder's
+        InstanceNorm is per-row), so regrouping is bit-identical to the
+        step() path — asserted by the scheduler tests, which compare both
+        entry points against the sequential StreamCodec."""
+        any_work = False
+        for lane in self.lanes.values():
+            rows, out, sids, cids, valid = self._gather_ready(lane)
+            if not rows:
+                continue
+            any_work = True
+            self._steps += 1
+            lane.last_served = self._steps
+            if lane.kind == "enc":
+                start = 0
+                for P in self._wave_sizes(rows):
+                    n = min(P, rows - start)
+                    x = out[start:start + n]
+                    if n < P:
+                        x = np.concatenate(
+                            [x, np.zeros((P - n, x.shape[1]), np.float32)])
+                    _, idx = lane.run(lane.params, self._device_batch(x))
+                    sel = slice(start, start + n)
+                    self._inflight.append(
+                        ("enc", lane, idx, n, None, sids[sel].copy(),
+                         cids[sel].copy(), valid[sel].copy()))
+                    start += n
+            else:
+                buckets: dict[int, list[int]] = {}
+                for r in range(rows):
+                    buckets.setdefault(int(valid[r]), []).append(r)
+                for v, rs in buckets.items():
+                    n_tok = v // lane.width
+                    x_full = out[rs][:, :v]
+                    start = 0
+                    for P in self._wave_sizes(len(rs)):
+                        n = min(P, len(rs) - start)
+                        x = x_full[start:start + n]
+                        if n < P:
+                            x = np.concatenate(
+                                [x, np.zeros((P - n, v), np.float32)])
+                        if lane.kind == "dec_idx":
+                            xin = self._device_batch(x.astype(np.int32))
+                        else:
+                            xin = self._device_batch(
+                                x.reshape(x.shape[0], n_tok, lane.width))
+                        audio = lane.run(lane.params, xin)
+                        if n < audio.shape[0] and audio.is_fully_addressable:
+                            audio = audio[:n]  # drop pad rows before transfer
+                        sel = np.asarray(rs[start:start + n])
+                        self._inflight.append(
+                            ("dec", lane, audio, n, list(range(n)),
+                             sids[sel], cids[sel], valid[sel]))
+                        start += n
+        return any_work
+
     def _fetch_inflight(self) -> list:
         """One host copy of every in-flight device result, minimizing the
         NUMBER of device->host transfers: same-shape results are stacked on
@@ -498,14 +603,7 @@ class CodecServer:
         copies with still-running compute). Stack programs compile once per
         (shape, count) — bounded by the chunk-shape palette times the batch
         fan-in, and cached by XLA."""
-        if jax.process_count() > 1:
-            # multi-host: results are globally sharded; allgather each to
-            # every host (the host loops run in lockstep and all need the
-            # full rows for framer bookkeeping)
-            from jax.experimental import multihost_utils
-            return [np.asarray(multihost_utils.process_allgather(
-                        item[2], tiled=True))
-                    for item in self._inflight]
+        multihost = jax.process_count() > 1
         groups: dict[tuple, list[int]] = {}
         for i, item in enumerate(self._inflight):
             arr = item[2]
@@ -517,10 +615,27 @@ class CodecServer:
             else:
                 stacks.append((idxs, jnp.stack(
                     [self._inflight[i][2] for i in idxs])))
+        if multihost:
+            # multi-host: results are globally sharded; every host needs the
+            # full rows for framer bookkeeping. ONE process_allgather per
+            # shape group (stacked on device first) — transfer COUNT, not
+            # bytes, dominates on DCN exactly as on latency-bound PCIe, so
+            # the single-process stacking strategy applies unchanged.
+            from jax.experimental import multihost_utils
+            gathered = [(idxs, np.asarray(multihost_utils.process_allgather(
+                            s, tiled=True))) for idxs, s in stacks]
+            fetched: list = [None] * len(self._inflight)
+            for idxs, host in gathered:
+                if len(idxs) == 1:
+                    fetched[idxs[0]] = host
+                else:
+                    for j, i in enumerate(idxs):
+                        fetched[i] = host[j]
+            return fetched
         for _, s in stacks:
             if hasattr(s, "copy_to_host_async"):
                 s.copy_to_host_async()
-        fetched: list = [None] * len(self._inflight)
+        fetched = [None] * len(self._inflight)
         for idxs, s in stacks:
             host = np.asarray(s)
             if len(idxs) == 1:
@@ -555,7 +670,9 @@ class CodecServer:
         self._inflight.clear()
 
     def drain(self) -> None:
-        while self.step():
+        """Process everything pending: wave-mode mega-batches (see
+        :meth:`_dispatch_wave`), then one stacked fetch of all results."""
+        while self._dispatch_wave():
             pass
         self._collect()
 

@@ -100,9 +100,11 @@ def latest(ckpt_dir: str | Path) -> tuple[int, Path] | None:
 def _save(ckpt_dir: Path, step: int, params, opt_state) -> Path:
     from .runtime import checkpoint as ckpt
     target = ckpt_dir / f"step_{step:08d}"
+    # step is stored as a fixed int32 so restore is independent of the live
+    # jax_enable_x64 setting at either save or load time
     ckpt.save_sharded(target, {"params": params,
                                "opt": list(jax.tree.leaves(opt_state)),
-                               "step": jnp.asarray(step)})
+                               "step": jnp.asarray(step, jnp.int32)})
     return target
 
 
@@ -119,9 +121,7 @@ def _restore(path: Path, params, opt_state):
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
                 "opt": [jax.ShapeDtypeStruct(a.shape, a.dtype)
                         for a in jax.tree.leaves(opt_state)],
-                "step": jax.ShapeDtypeStruct((), jnp.int64 if
-                                             jax.config.jax_enable_x64
-                                             else jnp.int32)}
+                "step": jax.ShapeDtypeStruct((), jnp.int32)}
     state = ckpt.load_sharded(path, template=template, shardings=shardings)
     opt_state = jax.tree.unflatten(jax.tree.structure(opt_state),
                                    state["opt"])
@@ -245,7 +245,11 @@ def _train_inner(config, *, steps, batch, seconds, tokens, dp, sp, tp, lr,
                 f"wav_l2 {m['wav_l2']:.5f}  ({dt:.1f}s)")
         if ckpt_path and save_every and (step + 1) % save_every == 0:
             log(f"saved {_save(ckpt_path, step + 1, params, opt_state)}")
-    if ckpt_path and save_every and steps % save_every:
+    # final save only if the loop actually advanced past the last periodic
+    # save; a resume whose checkpoint is already >= --steps must not write a
+    # step_{steps} dir holding later-step params, and reports the real step
+    final_step = max(start, steps)
+    if (ckpt_path and save_every and steps > start and steps % save_every):
         log(f"saved {_save(ckpt_path, steps, params, opt_state)}")
-    return {"params": params, "opt_state": opt_state, "step": steps,
+    return {"params": params, "opt_state": opt_state, "step": final_step,
             "metrics": metrics}

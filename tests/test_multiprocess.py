@@ -37,10 +37,22 @@ def test_two_process_dp_serving():
             out, _ = p.communicate(timeout=540)
             outs.append(out)
     except subprocess.TimeoutExpired:
+        # kill survivors, then reap every pipe so the failure message carries
+        # whatever the workers printed before hanging (ADVICE r4)
         for p in procs:
-            p.kill()
-        pytest.fail("multi-process workers timed out:\n" +
-                    "\n".join(o or "" for o in outs))
+            if p.poll() is None:
+                p.kill()
+        killed_outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=30)
+            except Exception:
+                out = ""
+            killed_outs.append(out or "")
+        pytest.fail("multi-process workers timed out:\n"
+                    + "\n".join(killed_outs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MP_OK {i} procs=2 devices=4" in out, out
+        assert f"MP_SP_OK pid={i} sp=4 spans_processes=True" in out, out
+        assert f"MP_SERVE pid={i}" in out, out
