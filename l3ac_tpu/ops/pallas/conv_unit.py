@@ -21,6 +21,7 @@ difference.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import _math
+
+# Transposed-kernel time-tile budget: bytes allowed for the (4C, S) fp32
+# intermediate. Swept on v5e (r5, tools/sweep_tiles.py); env override is for
+# hardware sweeps only (trace-time constant).
+CT_BUDGET = int(os.environ.get("L3AC_TPU_CU_BUDGET", str(2 << 20)))
+CT_CAP = int(os.environ.get("L3AC_TPU_CU_CAP", "6144"))
+NAT_BUDGET = int(os.environ.get("L3AC_TPU_CU_NAT_BUDGET", str(2 << 20)))
 
 
 def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
@@ -168,7 +176,7 @@ def conv_unit_ct(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
     # keep the (4C, S) fp32 intermediate ~3 MiB (VMEM scoped limit is 16 MiB
     # shared with double-buffered I/O blocks and both weight matrices); narrow
     # channels take long tiles — fewer grid steps amortize per-step overhead
-    S = max(256, min(6144, ((2 << 20) // (16 * C)) // 256 * 256))
+    S = max(256, min(CT_CAP, (CT_BUDGET // (16 * C)) // 256 * 256))
     pad = (-Tin) % S
     xt = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
     NT = (Tin + pad) // S
@@ -234,8 +242,8 @@ def conv_unit_t(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
 
 
 def _tile_size(C: int) -> int:
-    # keep the (S, 4C) fp32 intermediate ~2 MiB
-    target = (2 << 20) // (16 * C)
+    # keep the (S, 4C) fp32 intermediate ~NAT_BUDGET (swept r5)
+    target = NAT_BUDGET // (16 * C)
     S = 128
     while S * 2 <= min(8192, target):
         S *= 2

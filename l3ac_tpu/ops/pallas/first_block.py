@@ -18,6 +18,7 @@ Halo = 45//2 (largest pool) + 3 (branch conv) = 25 samples per side.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,10 @@ from ...models.tconv import FIRST_BLOCK_POOLS
 from . import _math
 
 HALO = max(FIRST_BLOCK_POOLS) // 2 + 3  # 25
+
+# Time-tile length (swept on v5e, r5 tools/sweep_tiles.py; env override for
+# hardware sweeps only — trace-time constant)
+TILE = int(os.environ.get("L3AC_TPU_FB_TILE", "12288"))
 
 
 def _shift(a: jnp.ndarray, off: int, out_len: int) -> jnp.ndarray:
@@ -135,7 +140,7 @@ def first_block_ct(x: jnp.ndarray, p: dict, *,
     B, T, _ = x.shape
     assert (lh is None) == (rh is None) == (edges is None)
     Cout = p["conv2"]["w"].shape[2]
-    S = 4096
+    S = TILE
     xr = x.reshape(B, 1, T)
     if rh is not None:
         assert rh.shape == (B, HALO, 1), (rh.shape, (B, HALO, 1))

@@ -22,6 +22,7 @@ makes zero inputs nonzero, which must not leak back in). Halo = 3*(1+3+9)+3 =
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,12 @@ from . import _math
 DILATIONS = (1, 3, 9)
 HALO = 3 * sum(DILATIONS) + 3  # 42
 PHALO = HALO // 2              # per-phase halo of the polyphase variant
+
+# Time-tile length. Swept on v5e (r5, tools/sweep_tiles.py): the per-tile
+# matmul population is ~62 tiny (24, 24) @ (24, S+2h) products, so larger
+# tiles amortize MXU issue overhead; 8192 measured fastest within VMEM.
+# Env override exists for hardware sweeps only (trace-time constant).
+TILE = int(os.environ.get("L3AC_TPU_TAIL_TILE", "8192"))
 
 
 def _snake(x, a):
@@ -205,7 +212,7 @@ def legacy_tail_poly_ct(x0: jnp.ndarray, x1: jnp.ndarray, tail_units: list,
             jnp.where(edges[0] == 1, 0, -HALO),
             T + jnp.where(edges[1] == 1, 0, HALO)]).astype(jnp.int32)
     Tin = x0.shape[2]
-    S = 2048
+    S = TILE
     pad = (-Tin) % S
     if pad:
         x0 = jnp.pad(x0, ((0, 0), (0, 0), (0, pad)))
@@ -289,7 +296,7 @@ def legacy_tail_ct(x: jnp.ndarray, tail_units: list, tail_alpha, out_conv, *,
             jnp.where(edges[0] == 1, 0, -HALO),
             T + jnp.where(edges[1] == 1, 0, HALO)]).astype(jnp.int32)
     Tin = x.shape[2]
-    S = 2048
+    S = TILE
     pad = (-Tin) % S
     xf = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
     NT = (Tin + pad) // S

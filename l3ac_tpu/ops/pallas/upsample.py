@@ -25,11 +25,17 @@ boundary columns as ``lh``/``rh`` (see ``models/decoder._up_path``).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Tile budget/cap knobs (r5 hardware sweeps, tools/sweep_tiles.py; trace-time
+# constants — env override is for sweep subprocesses only)
+UP_BUDGET = int(os.environ.get("L3AC_TPU_UP_BUDGET", str(8 << 20)))
+UP_CAP = int(os.environ.get("L3AC_TPU_UP_CAP", "8192"))
 
 
 def _phase_weights(scale: int):
@@ -144,7 +150,10 @@ def up_fused_ct(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     # append the right neighbor in-array; edge-pad so the positions past T
     # (discarded after the final slice) never read garbage
     xext = jnp.concatenate([x, rh.astype(x.dtype)], axis=2)
-    S = max(256, min(6144, ((2 << 20) // (16 * max(Ci, Co))) // 256 * 256))
+    # r5 sweep: the phase-split form (narrow stage-3 shapes) measured fastest
+    # at the smaller tile, the interleaved form at the larger one
+    budget, cap = ((2 << 20, 6144) if phase_split else (UP_BUDGET, UP_CAP))
+    S = max(256, min(cap, (budget // (16 * max(Ci, Co))) // 256 * 256))
     pad = (-xext.shape[2]) % S
     if pad:
         xext = jnp.concatenate(
@@ -207,7 +216,7 @@ def up_fused(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     if rh is None:
         rh = last
     xext = jnp.concatenate([x, rh.astype(x.dtype)], axis=1)
-    S = max(256, min(6144, ((2 << 20) // (16 * max(Ci, Co))) // 256 * 256))
+    S = max(256, min(UP_CAP, (UP_BUDGET // (16 * max(Ci, Co))) // 256 * 256))
     pad = (-xext.shape[1]) % S
     if pad:
         xext = jnp.concatenate(

@@ -291,6 +291,10 @@ class CodecServer:
             self._param_sharding = NamedSharding(mesh, P())
         self.lanes: dict[str, _Lane] = {}
         self.streams: dict[int, _Stream] = {}
+        #: device-interaction counters since construction (serving roofline
+        #: evidence: wall ~= programs * dispatch_floor + fetches * fetch_floor
+        #: on latency-bound links; see BENCH_NOTES serving section)
+        self.stats = {"programs": 0, "fetches": 0}
         self._next_handle = 0
         self._steps = 0
         self._inflight: list = []      # dispatched-but-uncollected results
@@ -463,6 +467,7 @@ class CodecServer:
         # the device and results scatter later in _collect() (one sync per
         # drain instead of one per step)
         _, idx = lane.run(lane.params, self._device_batch(batch))
+        self.stats["programs"] += 1
         # NOT sliced to real rows: token results are tiny, and on
         # latency-bound links a slice is an extra device program costing far
         # more than the padding rows' bytes; unsliced results also share ONE
@@ -490,8 +495,10 @@ class CodecServer:
                 xin = self._device_batch(x.reshape(x.shape[0], n_tok,
                                                    lane.width))
             audio = lane.run(lane.params, xin)
+            self.stats["programs"] += 1
             if len(rs) < audio.shape[0] and audio.is_fully_addressable:
                 audio = audio[:len(rs)]  # drop padding rows before transfer
+                self.stats["programs"] += 1  # the slice program
             self._inflight.append(("dec", lane, audio, len(rs), rs,
                                    sids.copy(), cids.copy(), valid.copy()))
 
@@ -561,6 +568,7 @@ class CodecServer:
                         x = np.concatenate(
                             [x, np.zeros((P - n, x.shape[1]), np.float32)])
                     _, idx = lane.run(lane.params, self._device_batch(x))
+                    self.stats["programs"] += 1
                     sel = slice(start, start + n)
                     self._inflight.append(
                         ("enc", lane, idx, n, None, sids[sel].copy(),
@@ -586,8 +594,10 @@ class CodecServer:
                             xin = self._device_batch(
                                 x.reshape(x.shape[0], n_tok, lane.width))
                         audio = lane.run(lane.params, xin)
+                        self.stats["programs"] += 1
                         if n < audio.shape[0] and audio.is_fully_addressable:
                             audio = audio[:n]  # drop pad rows before transfer
+                            self.stats["programs"] += 1  # the slice program
                         sel = np.asarray(rs[start:start + n])
                         self._inflight.append(
                             ("dec", lane, audio, n, list(range(n)),
@@ -632,6 +642,9 @@ class CodecServer:
                     for j, i in enumerate(idxs):
                         fetched[i] = host[j]
             return fetched
+        self.stats["fetches"] += len(stacks)
+        self.stats["programs"] += sum(1 for idxs, _ in stacks
+                                      if len(idxs) > 1)  # stack programs
         for _, s in stacks:
             if hasattr(s, "copy_to_host_async"):
                 s.copy_to_host_async()

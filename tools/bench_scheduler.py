@@ -87,15 +87,21 @@ def main():
 
     import statistics
 
+    def stat_delta(before):
+        return {k: server.stats[k] - before[k] for k in server.stats}
+
     # ---- encode: wave A warms, waves B.. are timed
     wave_a, _ = submit_wave()
     server.drain()
     enc_dts, wave_b, total_audio = [], None, 0.0
+    enc_stats = None
     for _ in range(args.repeat):
         wave_b, total_audio = submit_wave()
+        before = dict(server.stats)
         t0 = time.perf_counter()
         server.drain()
         enc_dts.append(time.perf_counter() - t0)
+        enc_stats = stat_delta(before)
     enc_dt = statistics.median(enc_dts)
     n_tokens = sum(len(server.tokens(h)) for _, _, h in wave_b)
 
@@ -104,13 +110,16 @@ def main():
         server.submit_decode(name, indices=server.tokens(h), length=length)
     server.drain()
     dec_dts, dec_handles = [], None
+    dec_stats = None
     for _ in range(args.repeat):
         dec_handles = [server.submit_decode(name, indices=server.tokens(h),
                                             length=length)
                        for name, length, h in wave_b]
+        before = dict(server.stats)
         t0 = time.perf_counter()
         server.drain()
         dec_dts.append(time.perf_counter() - t0)
+        dec_stats = stat_delta(before)
     dec_dt = statistics.median(dec_dts)
     out_samples = sum(len(server.audio(h)) for h in dec_handles)
     if args.repeat > 1:
@@ -122,6 +131,9 @@ def main():
     print(f"streams/wave: {len(wave_b)} across {list(models)}  "
           f"audio: {total_audio:.1f}s  tokens: {n_tokens}  "
           f"decoded samples: {out_samples}")
+    print(f"device interactions/wave: encode {enc_stats}  decode {dec_stats}"
+          f"  (serving roofline: wall ~= programs x dispatch_floor + "
+          f"fetches x fetch_floor on the tunnel)")
     print(f"encode  wall: {enc_dt*1e3:8.1f} ms  aggregate RTF: "
           f"{total_audio/enc_dt:8.1f}x")
     print(f"decode  wall: {dec_dt*1e3:8.1f} ms  aggregate RTF: "
