@@ -37,9 +37,12 @@ PHALO = HALO // 2              # per-phase halo of the polyphase variant
 
 # Time-tile length. Swept on v5e (r5, tools/sweep_tiles.py): the per-tile
 # matmul population is ~62 tiny (24, 24) @ (24, S+2h) products, so larger
-# tiles amortize MXU issue overhead; 8192 measured fastest within VMEM.
+# tiles amortize MXU issue overhead (2048: 3.14 ms, 4096: 3.01, 8192: 2.81
+# isolated). 8192 fits the fast-sine production kernel but OOMs scoped VMEM
+# (18.5 of 16 MiB) under the EXACT-sine variant — Mosaic's sin lowering needs
+# extra scratch — so the default stays 4096, safe for both sine modes.
 # Env override exists for hardware sweeps only (trace-time constant).
-TILE = int(os.environ.get("L3AC_TPU_TAIL_TILE", "8192"))
+TILE = int(os.environ.get("L3AC_TPU_TAIL_TILE", "4096"))
 
 
 def _snake(x, a):

@@ -26,30 +26,40 @@ from ..attention import NEG_INF, local_attention_mask
 
 def _attn_kernel(q_ref, kp_ref, kc_ref, vp_ref, vc_ref, kp0_ref, vp0_ref,
                  bias_ref, o_ref, *, scale: float):
-    w = pl.program_id(1)
+    w = pl.program_id(2)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # (rq, D) query row tile
+    # matmuls run in the INPUT dtype with fp32 accumulation: in production
+    # (bf16 activations) this is the MXU's native rate — forcing fp32
+    # operands costs ~4-8x on v5e and is MORE precise than the jnp bf16
+    # reference path, not equal to it. fp32 inputs stay exactly as before
+    # (the parity suites run fp32). The scale and softmax stay fp32.
+    mdt = q_ref.dtype
+    # scale on q in the input dtype — the jnp reference's exact placement
+    # (ops/attention.py: bq = q.reshape(...) * scale)
+    q = q_ref[0] * jnp.asarray(scale, mdt)            # (rq, D) query row tile
     # window 0's "previous" block comes from the kp0/vp0 operands: zeros in
     # the monolithic case (its columns are NEG_INF-masked via the w==0 bias
     # plane), the left neighbor shard's last window under SP
-    kp = jnp.where(w == 0, kp0_ref[0], kp_ref[0]).astype(jnp.float32)
-    kc = kc_ref[0].astype(jnp.float32)                # (n, D) current window
+    kp = jnp.where(w == 0, kp0_ref[0], kp_ref[0])
+    kc = kc_ref[0]                                    # (n, D) current window
     n = kc.shape[0]
 
     s_prev = jax.lax.dot_general(q, kp, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     s_cur = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    s = jnp.concatenate([s_prev, s_cur], axis=-1)      # (rq, 2n)
-    s = s + bias_ref[0, 0]       # bias + causal mask (+ w==0 prev-col mask)
+    s = jnp.concatenate([s_prev, s_cur], axis=-1)      # (rq, 2n) fp32
+    # bias + causal mask (+ w==0 prev-col mask); stored in the input dtype —
+    # the bias block is the kernel's dominant HBM stream (rq x 2n per step)
+    s = s + bias_ref[0, 0].astype(jnp.float32)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
+    p = (e / denom).astype(mdt)
 
-    vp = jnp.where(w == 0, vp0_ref[0], vp_ref[0]).astype(jnp.float32)
-    vc = vc_ref[0].astype(jnp.float32)
+    vp = jnp.where(w == 0, vp0_ref[0], vp_ref[0])
+    vc = vc_ref[0]
     o = (jax.lax.dot_general(p[:, :n], vp, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          + jax.lax.dot_general(p[:, n:], vc, (((1,), (0,)), ((), ())),
@@ -129,25 +139,33 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     first_cols = (jnp.arange(2 * n) < n)[None, None, :]
     bias_w0 = jnp.where(jnp.logical_and(first_cols, mask_first), NEG_INF,
                         bias_all)
-    bias_st = jnp.stack([bias_w0, bias_all])               # (2, H, n, 2n)
+    # stored in the INPUT dtype: the (rq, 2n) bias block is the kernel's
+    # dominant HBM stream (fp32 NEG_INF saturates to bf16 -inf, which the
+    # softmax handles identically); fp32 inputs keep fp32 bias exactly
+    bias_st = jnp.stack([bias_w0, bias_all]).astype(q.dtype)   # (2, H, n, 2n)
     if n_pad != n:
         bias_st = jnp.pad(bias_st, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
-    grid = (BH, W, NR)
+    # W innermost: the bias block's index is constant for w >= 1, so Pallas's
+    # consecutive-step DMA elision fetches each (rq, 2n) bias block ~twice per
+    # (batch*head, row-tile) instead of once per window — at window 750 the
+    # bias stream falls from ~1.5 GB to ~0.2 GB per call, which WAS the
+    # kernel's wall (measured r5; see BENCH_NOTES)
+    grid = (BH, NR, W)
 
-    def q_map(b, w, r):
+    def q_map(b, r, w):
         return (b * W + w, r, 0)
 
-    def cur_map(b, w, r):
+    def cur_map(b, r, w):
         return (b * W + w, 0, 0)
 
-    def prev_map(b, w, r):
+    def prev_map(b, r, w):
         return (b * W + jnp.maximum(w - 1, 0), 0, 0)
 
-    def p0_map(b, w, r):
+    def p0_map(b, r, w):
         return (b, 0, 0)
 
-    def bias_map(b, w, r):
+    def bias_map(b, r, w):
         return (jnp.minimum(w, 1), b % H, r, 0)
 
     kernel = functools.partial(_attn_kernel, scale=D ** -0.5)

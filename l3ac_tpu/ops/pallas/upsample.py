@@ -34,8 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tile budget/cap knobs (r5 hardware sweeps, tools/sweep_tiles.py; trace-time
 # constants — env override is for sweep subprocesses only)
-UP_BUDGET = int(os.environ.get("L3AC_TPU_UP_BUDGET", str(8 << 20)))
-UP_CAP = int(os.environ.get("L3AC_TPU_UP_CAP", "8192"))
+# NOTE: an 8 MiB budget measured faster in ISOLATION at the stage-2 shape
+# (0.83 -> 0.46 ms) but 0.3 ms SLOWER end-to-end (bench.py A/B, r5) — tile
+# choices interact with neighboring kernels' residency; whole-step A/B is
+# the deciding measurement.
+UP_BUDGET = int(os.environ.get("L3AC_TPU_UP_BUDGET", str(2 << 20)))
+UP_CAP = int(os.environ.get("L3AC_TPU_UP_CAP", "6144"))
 
 
 def _phase_weights(scale: int):
