@@ -150,13 +150,24 @@ class L3AC:
         return out.data[None]
 
 
-def get_model(name: str, *, pretrained: bool = True, **overrides) -> L3AC:
+def get_model(name: str, *, pretrained: bool = True, dtype=jnp.float32,
+              **overrides) -> L3AC:
     """Build a named model; downloads + converts reference weights when
-    ``pretrained`` (requires network access)."""
+    ``pretrained`` (requires network access).
+
+    ``dtype``: parameter/compute dtype. ``jnp.bfloat16`` is the production
+    serving dtype (matches bench.py's flagship numbers; fp32 runs the MXU at
+    a fraction of its bf16 rate). Pretrained fp32 weights are cast after
+    conversion; index agreement bounds for bf16 are pinned in tests/test_bf16.
+    """
     cfg = get_config(name, **overrides)
-    model = L3AC(cfg)
+    model = L3AC(cfg, dtype=dtype)
     if pretrained:
         model.load_pretrained()
+        if dtype != jnp.float32:
+            model.params = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, model.params)
     return model
 
 

@@ -72,8 +72,17 @@ def sin(x: jnp.ndarray) -> jnp.ndarray:
 def snake(h: jnp.ndarray, alpha) -> jnp.ndarray:
     """Snake activation, fp32 (Mosaic cannot legalize bf16 sin; the parity
     contract computes sin in fp32 regardless of activation dtype). ``h`` is
-    cast to fp32; caller casts the result back if it wants a narrower chain."""
+    cast to fp32; caller casts the result back if it wants a narrower chain.
+
+    In fast-sine (production) mode the 1/(alpha+eps) reciprocal is computed
+    on the SMALL per-channel alpha array and broadcast-multiplied: a
+    full-size VPU divide on the (4C, S) intermediate costs ~5x a multiply
+    and alpha is constant per channel. Exact mode keeps the literal
+    ``s*s/(a+eps)`` so the kernel stays bit-exact to the jnp/torch formula
+    (the FSQ-index bit-exactness contract — same reasoning as exact sine)."""
     hf = h.astype(jnp.float32)
     a = jnp.asarray(alpha).astype(jnp.float32)
     s = sin(a * hf)
+    if fast_sine_enabled():
+        return hf + s * s * (1.0 / (a + 1e-8))
     return hf + s * s / (a + 1e-8)

@@ -39,7 +39,7 @@ NAT_BUDGET = int(os.environ.get("L3AC_TPU_CU_NAT_BUDGET", str(2 << 20)))
 
 
 def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
-            w1_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2_ref, b2_ref,
+            w1_ref, b1_ref, alpha_ref, w2_ref, b2_ref,
             o_ref, *, halo: int, kernel_size: int, dilation: int,
             has_norm: bool, has_snake: bool, n_tiles: int):
     t = pl.program_id(1)
@@ -67,7 +67,7 @@ def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     if has_norm:
         u = jnp.mean(acc, axis=-1, keepdims=True)
         s = jnp.mean((acc - u) ** 2, axis=-1, keepdims=True)
-        acc = (acc - u) / jnp.sqrt(s + 1e-8)
+        acc = (acc - u) * jax.lax.rsqrt(s + 1e-8)
         acc = acc * nw_ref[0].astype(jnp.float32) + nb_ref[0].astype(jnp.float32)
 
     h = jnp.dot(acc.astype(w1_ref.dtype), w1_ref[...],
@@ -79,9 +79,9 @@ def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     else:
         h = _math.gelu_exact(h)
 
-    # GRN with n = 1 (see module docstring)
-    h = gamma_ref[0].astype(jnp.float32) * h + beta_ref[0].astype(jnp.float32) + h
-
+    # GRN (n = 1, see module docstring) is folded into w2/b2 by the wrapper:
+    # W2 @ (gamma*h + beta + h) == ((1+gamma) scaled W2) @ h + (W2-projected
+    # beta) — two fewer full-size VPU passes over the (S, 4C) intermediate.
     y = jnp.dot(h.astype(w2_ref.dtype), w2_ref[...],
                 preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
@@ -89,7 +89,7 @@ def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
 
 
 def _kernel_t(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
-              w1t_ref, b1_ref, alpha_ref, gamma_ref, beta_ref, w2t_ref, b2_ref,
+              w1t_ref, b1_ref, alpha_ref, w2t_ref, b2_ref,
               o_ref, *, halo: int, kernel_size: int, dilation: int,
               has_norm: bool, has_snake: bool, n_tiles: int):
     """Transposed (C, T) variant for narrow channel counts: time in lanes,
@@ -103,10 +103,6 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     t = pl.program_id(1)
     C = xc_ref.shape[1]
     S = xc_ref.shape[2]
-    # elementwise chain runs in the activation dtype (bf16 in production —
-    # the kernel is VMEM-bandwidth-bound, fp32 intermediates double it);
-    # norm statistics and matmul accumulation stay fp32
-    cdt = xc_ref.dtype
 
     prev = xp_ref[0, :, S - halo:]
     nxt = xn_ref[0, :, :halo]
@@ -123,7 +119,7 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
     if has_norm:
         u = jnp.mean(acc, axis=0, keepdims=True)
         s = jnp.mean((acc - u) ** 2, axis=0, keepdims=True)
-        acc = (acc - u) / jnp.sqrt(s + 1e-8)
+        acc = (acc - u) * jax.lax.rsqrt(s + 1e-8)
         acc = acc * nw_ref[...].astype(jnp.float32) + \
             nb_ref[...].astype(jnp.float32)
 
@@ -135,10 +131,8 @@ def _kernel_t(xp_ref, xc_ref, xn_ref, lh_ref, dww_ref, dwb_ref, nw_ref, nb_ref,
         h = _math.snake(h, alpha_ref[...])
     else:
         h = _math.gelu_exact(h)
-    h = h.astype(cdt)
 
-    h = gamma_ref[...].astype(cdt) * h + beta_ref[...].astype(cdt) + h
-
+    # GRN folded into w2t/b2 at trace time (see _kernel)
     y = jnp.dot(w2t_ref[...], h.astype(w2t_ref.dtype),
                 preferred_element_type=jnp.float32)
     y = y + b2_ref[...].astype(jnp.float32)
@@ -184,14 +178,21 @@ def conv_unit_ct(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
 
     dww = p["dw"]["w"].reshape(kernel_size, C).T            # (C, K)
     col = lambda v: v.reshape(-1, 1)
+    # GRN (n = 1) folded into the second pointwise conv at trace time:
+    # W2 @ (g*h + b + h) == (W2 * (1+g)) @ h + W2 @ b  (fp32, then cast to
+    # the parameter dtype — removes two full-size VPU passes in the kernel)
+    gam = p["grn"]["gamma"].astype(jnp.float32)
+    bet = p["grn"]["beta"].astype(jnp.float32)
+    w2f = p["pw2"]["w"].astype(jnp.float32)                 # (4C, C)
+    w2 = (w2f * (1.0 + gam)[:, None]).astype(p["pw2"]["w"].dtype)
+    b2 = p["pw2"]["b"].astype(jnp.float32) + bet @ w2f
     args = [
         xt, xt, xt, lh, dww, col(p["dw"]["b"]),
         col(p["norm"]["w"]) if has_norm else col(jnp.zeros((C,), x.dtype)),
         col(p["norm"]["b"]) if has_norm else col(jnp.zeros((C,), x.dtype)),
         p["pw1"]["w"].T, col(p["pw1"]["b"]),
         col(p["alpha"]) if has_snake else col(jnp.zeros((4 * C,), x.dtype)),
-        col(p["grn"]["gamma"]), col(p["grn"]["beta"]),
-        p["pw2"]["w"].T, col(p["pw2"]["b"]),
+        w2.T, col(b2.astype(p["pw2"]["b"].dtype)),
     ]
 
     def cur_map(b, t):
@@ -282,14 +283,19 @@ def conv_unit(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
 
     dww = p["dw"]["w"].reshape(kernel_size, C)           # (K,1,C) -> (K,C)
     row = lambda v: v.reshape(1, -1)
+    # GRN fold (see conv_unit_ct)
+    gam = p["grn"]["gamma"].astype(jnp.float32)
+    bet = p["grn"]["beta"].astype(jnp.float32)
+    w2f = p["pw2"]["w"].astype(jnp.float32)              # (4C, C)
+    w2 = (w2f * (1.0 + gam)[:, None]).astype(p["pw2"]["w"].dtype)
+    b2 = p["pw2"]["b"].astype(jnp.float32) + bet @ w2f
     args = [
         xf, xf, xf, lh, dww, row(p["dw"]["b"]),
         row(p["norm"]["w"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
         row(p["norm"]["b"]) if has_norm else row(jnp.zeros((C,), x.dtype)),
         p["pw1"]["w"], row(p["pw1"]["b"]),
         row(p["alpha"]) if has_snake else row(jnp.zeros((4 * C,), x.dtype)),
-        row(p["grn"]["gamma"]), row(p["grn"]["beta"]),
-        p["pw2"]["w"], row(p["pw2"]["b"]),
+        w2, row(b2.astype(p["pw2"]["b"].dtype)),
     ]
 
     def cur_map(b, t):

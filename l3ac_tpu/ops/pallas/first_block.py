@@ -99,7 +99,8 @@ def _kernel(xp_ref, xc_ref, xn_ref, lh_ref, bounds_ref, wb_ref, bb_ref,
             # torch's avg pool operates on an array that ends at T: re-zero
             # out-of-sequence max outputs before averaging
             m = jnp.where(valid, m, 0.0)
-            a = _sliding(jnp.pad(m, ((0, 0), (p, 0))), k, jnp.add, R) / k
+            a = _sliding(jnp.pad(m, ((0, 0), (p, 0))), k, jnp.add,
+                         R) * (1.0 / k)
         else:
             a = x
         # branch conv 1 -> 4, k=7, pad 3 (broadcast FMAs over lanes)

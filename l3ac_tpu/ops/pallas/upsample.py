@@ -82,7 +82,7 @@ def _kernel_ct(xc_ref, lb_ref, rb_ref, wt_ref, b_ref, nw_ref, nb_ref,
         if has_norm:
             u = jnp.mean(y, axis=0, keepdims=True)
             v = jnp.mean((y - u) ** 2, axis=0, keepdims=True)
-            y = (y - u) / jnp.sqrt(v + 1e-8)
+            y = (y - u) * jax.lax.rsqrt(v + 1e-8)
             y = y * nw_ref[...].astype(jnp.float32) + \
                 nb_ref[...].astype(jnp.float32)
         o_refs[p][0] = y.astype(o_refs[p].dtype)
@@ -112,7 +112,7 @@ def _kernel(xc_ref, lb_ref, rb_ref, w_ref, b_ref, nw_ref, nb_ref,
         if has_norm:
             u = jnp.mean(y, axis=-1, keepdims=True)
             v = jnp.mean((y - u) ** 2, axis=-1, keepdims=True)
-            y = (y - u) / jnp.sqrt(v + 1e-8)
+            y = (y - u) * jax.lax.rsqrt(v + 1e-8)
             y = y * nw_ref[0].astype(jnp.float32) + \
                 nb_ref[0].astype(jnp.float32)
         o_refs[p][0] = y.astype(o_refs[p].dtype)

@@ -26,6 +26,7 @@ stay on ICI.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -215,6 +216,7 @@ class _Lane:
     run: object = None                             # jitted program
     params: object = None                          # (dp: replicated) params
     last_served: int = 0                           # for lane aging
+    in_cast: object = None                         # host-side pre-upload cast
 
 
 @dataclass
@@ -293,8 +295,14 @@ class CodecServer:
         self.streams: dict[int, _Stream] = {}
         #: device-interaction counters since construction (serving roofline
         #: evidence: wall ~= programs * dispatch_floor + fetches * fetch_floor
-        #: on latency-bound links; see BENCH_NOTES serving section)
-        self.stats = {"programs": 0, "fetches": 0}
+        #: on latency-bound links; see BENCH_NOTES serving section). The t_*
+        #: entries are cumulative seconds per drain phase: host batch
+        #: assembly, host->device upload, program dispatch (async — excludes
+        #: device execution, which lands in t_fetch's blocking copy), the
+        #: device->host result fetch, and the host result scatter.
+        self.stats = {"programs": 0, "fetches": 0, "t_assemble": 0.0,
+                      "t_upload": 0.0, "t_dispatch": 0.0, "t_fetch": 0.0,
+                      "t_scatter": 0.0, "t_gather": 0.0}
         self._next_handle = 0
         self._steps = 0
         self._inflight: list = []      # dispatched-but-uncollected results
@@ -318,18 +326,35 @@ class CodecServer:
             if self._param_sharding is not None:
                 params = jax.tree.map(
                     lambda a: _put_global(a, self._param_sharding), params)
+            # serve in the MODEL's dtype: framer rows are always float32 on
+            # the host (indices are exact in f32), the lane programs cast at
+            # the device boundary. bf16 models run the MXU at its native rate
+            # AND halve decode result bytes (audio() upcasts on the host).
+            pdt = jax.tree.leaves(params)[0].dtype
+            # bf16 models: cast audio/feature rows to bf16 ON THE HOST before
+            # upload — BIT-IDENTICAL to the device-side cast the lane program
+            # performs anyway (same round-to-nearest-even), and it halves the
+            # upload bytes on links where transfer dominates (the measured
+            # tunnel moves ~25-40 MB/s effective through program inputs)
+            host_cast = ((lambda a: a.astype(jnp.bfloat16))
+                         if pdt == jnp.bfloat16 else None)
 
             enc = _Lane(model=model, hop=hop, kind="enc",
                         framer=_make_framer(chunk_len, hop,
                                             self.rows_per_step, use_native))
-            enc.run = jax.jit(partial(fcodec.encode, mc=mc))
+            enc.run = jax.jit(lambda p, x, _mc=mc, _dt=pdt: fcodec.encode(
+                p, x.astype(_dt), mc=_mc))
             enc.params = params
+            enc.in_cast = host_cast
             self.lanes[f"{name}:enc"] = enc
 
             def _dec_out(audio):
                 if not pcm16_output:
                     return audio
-                return jnp.round(audio * 32767.0).astype(jnp.int16)
+                # upcast BEFORE the pcm scale: bf16's ~8-bit mantissa would
+                # otherwise swamp the 16-bit quantization grid
+                return jnp.round(audio.astype(jnp.float32)
+                                 * 32767.0).astype(jnp.int16)
 
             di = _Lane(model=model, hop=hop, kind="dec_idx",
                        framer=_make_framer(tok_chunk, 1, self.rows_per_step,
@@ -342,9 +367,10 @@ class CodecServer:
             df = _Lane(model=model, hop=hop, kind="dec_feat", width=C,
                        framer=_make_framer(tok_chunk * C, C,
                                            self.rows_per_step, use_native))
-            df.run = jax.jit(lambda p, x, _mc=mc: _dec_out(
-                fcodec.decode(p, x, mc=_mc)))
+            df.run = jax.jit(lambda p, x, _mc=mc, _dt=pdt: _dec_out(
+                fcodec.decode(p, x.astype(_dt), mc=_mc)))
             df.params = params
+            df.in_cast = host_cast
             self.lanes[f"{name}:dec_feat"] = df
 
     # -- stream lifecycle ---------------------------------------------------
@@ -466,6 +492,8 @@ class CodecServer:
         # dispatch only — jax arrays are futures; the host loop keeps feeding
         # the device and results scatter later in _collect() (one sync per
         # drain instead of one per step)
+        if lane.in_cast is not None:
+            batch = lane.in_cast(batch)
         _, idx = lane.run(lane.params, self._device_batch(batch))
         self.stats["programs"] += 1
         # NOT sliced to real rows: token results are tiny, and on
@@ -492,8 +520,10 @@ class CodecServer:
             if lane.kind == "dec_idx":
                 xin = self._device_batch(x.astype(np.int32))
             else:
-                xin = self._device_batch(x.reshape(x.shape[0], n_tok,
-                                                   lane.width))
+                xf = x.reshape(x.shape[0], n_tok, lane.width)
+                if lane.in_cast is not None:
+                    xf = lane.in_cast(xf)
+                xin = self._device_batch(xf)
             audio = lane.run(lane.params, xin)
             self.stats["programs"] += 1
             if len(rs) < audio.shape[0] and audio.is_fully_addressable:
@@ -553,7 +583,9 @@ class CodecServer:
         entry points against the sequential StreamCodec."""
         any_work = False
         for lane in self.lanes.values():
+            tg = time.perf_counter()
             rows, out, sids, cids, valid = self._gather_ready(lane)
+            self.stats["t_gather"] += time.perf_counter() - tg
             if not rows:
                 continue
             any_work = True
@@ -562,12 +594,22 @@ class CodecServer:
             if lane.kind == "enc":
                 start = 0
                 for P in self._wave_sizes(rows):
+                    t0 = time.perf_counter()
                     n = min(P, rows - start)
                     x = out[start:start + n]
                     if n < P:
                         x = np.concatenate(
                             [x, np.zeros((P - n, x.shape[1]), np.float32)])
-                    _, idx = lane.run(lane.params, self._device_batch(x))
+                    if lane.in_cast is not None:
+                        x = lane.in_cast(x)
+                    t1 = time.perf_counter()
+                    xd = self._device_batch(x)
+                    t2 = time.perf_counter()
+                    _, idx = lane.run(lane.params, xd)
+                    t3 = time.perf_counter()
+                    self.stats["t_assemble"] += t1 - t0
+                    self.stats["t_upload"] += t2 - t1
+                    self.stats["t_dispatch"] += t3 - t2
                     self.stats["programs"] += 1
                     sel = slice(start, start + n)
                     self._inflight.append(
@@ -583,17 +625,25 @@ class CodecServer:
                     x_full = out[rs][:, :v]
                     start = 0
                     for P in self._wave_sizes(len(rs)):
+                        t0 = time.perf_counter()
                         n = min(P, len(rs) - start)
                         x = x_full[start:start + n]
                         if n < P:
                             x = np.concatenate(
                                 [x, np.zeros((P - n, v), np.float32)])
+                        t1 = time.perf_counter()
                         if lane.kind == "dec_idx":
                             xin = self._device_batch(x.astype(np.int32))
                         else:
-                            xin = self._device_batch(
-                                x.reshape(x.shape[0], n_tok, lane.width))
+                            xf = x.reshape(x.shape[0], n_tok, lane.width)
+                            if lane.in_cast is not None:
+                                xf = lane.in_cast(xf)
+                            xin = self._device_batch(xf)
+                        t2 = time.perf_counter()
                         audio = lane.run(lane.params, xin)
+                        self.stats["t_assemble"] += t1 - t0
+                        self.stats["t_upload"] += t2 - t1
+                        self.stats["t_dispatch"] += time.perf_counter() - t2
                         self.stats["programs"] += 1
                         if n < audio.shape[0] and audio.is_fully_addressable:
                             audio = audio[:n]  # drop pad rows before transfer
@@ -645,6 +695,7 @@ class CodecServer:
         self.stats["fetches"] += len(stacks)
         self.stats["programs"] += sum(1 for idxs, _ in stacks
                                       if len(idxs) > 1)  # stack programs
+        t0 = time.perf_counter()
         for _, s in stacks:
             if hasattr(s, "copy_to_host_async"):
                 s.copy_to_host_async()
@@ -656,11 +707,13 @@ class CodecServer:
             else:
                 for j, i in enumerate(idxs):
                     fetched[i] = host[j]
+        self.stats["t_fetch"] += time.perf_counter() - t0
         return fetched
 
     def _collect(self) -> None:
         """Scatter all dispatched device results into stream bookkeeping."""
         fetched = self._fetch_inflight()
+        t0 = time.perf_counter()
         for arr, (kind, lane, _, rows, rs, sids, cids, valid) in zip(
                 fetched, self._inflight):
             if kind == "enc":
@@ -680,6 +733,7 @@ class CodecServer:
                     if c > 0:
                         a = a[lane.tok_prefix * lane.hop:]
                     st.out[c] = a
+        self.stats["t_scatter"] += time.perf_counter() - t0
         self._inflight.clear()
 
     def drain(self) -> None:
@@ -709,6 +763,8 @@ class CodecServer:
         out = np.concatenate([st.out[c] for c in sorted(st.out)])
         if out.dtype == np.int16:      # pcm16_output lanes: dequantize
             out = out.astype(np.float32) / 32767.0
+        elif out.dtype != np.float32:  # bf16 models: upcast on the host
+            out = out.astype(np.float32)
         return out[:st.length] if st.length is not None else out
 
     # -- restartable server state (minimal elastic recovery, SURVEY §5) -----

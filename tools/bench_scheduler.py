@@ -57,15 +57,24 @@ def main():
     ap.add_argument("--exact-sine", action="store_true",
                     help="exact Mosaic sin instead of the production fast "
                          "polynomial (see bench.py / BENCH_NOTES.md)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="serving dtype. bfloat16 is the production mode "
+                         "(MXU-native, matches bench.py); float32 is the "
+                         "like-for-like companion for the r3/r4 serving "
+                         "numbers, which ran fp32 models")
     args = ap.parse_args()
 
     if not args.exact_sine:
         import os
         os.environ["L3AC_TPU_FAST_SINE"] = "1"
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     print(f"backend: {jax.default_backend()} "
-          f"fast_sine={not args.exact_sine}")
-    models = {name: get_model(name, pretrained=False) for name in args.models}
+          f"fast_sine={not args.exact_sine} dtype={args.dtype}")
+    models = {name: get_model(name, pretrained=False, dtype=dtype)
+              for name in args.models}
     server = CodecServer(models, chunk_seconds=args.chunk_seconds,
                          batch_size=args.batch, pcm16_output=args.pcm16)
 
