@@ -405,3 +405,45 @@ def test_pcm16_output_close_to_float():
     got = pcm.audio(hp)
     assert got.dtype == np.float32
     assert np.max(np.abs(got - want)) <= 1.0 / 32767.0
+
+
+def test_bf16_server_host_cast_bit_identical_and_f32_audio():
+    """bf16 serving (the production dtype, zoo.get_model(dtype=bf16)): the
+    host-side pre-upload bf16 cast must be BIT-IDENTICAL to letting the lane
+    program cast on device (both are round-to-nearest-even f32->bf16), and
+    audio()/tokens() must return host-friendly dtypes (float32 / int)."""
+    import jax.numpy as jnp
+
+    from l3ac_tpu.config import get_config
+
+    mk = lambda: L3AC(get_config("debug"), dtype=jnp.bfloat16)
+    audio = _audio(0.31)
+
+    host = CodecServer({"debug": mk()}, chunk_seconds=CHUNK_SECONDS,
+                       batch_size=4, use_native=False)
+    dev = CodecServer({"debug": mk()}, chunk_seconds=CHUNK_SECONDS,
+                      batch_size=4, use_native=False)
+    assert host.lanes["debug:enc"].in_cast is not None  # bf16 => host cast on
+    for lane in dev.lanes.values():
+        lane.in_cast = None                   # force the device-side cast
+
+    hh = host.submit("debug", audio)
+    hd = dev.submit("debug", audio)
+    host.drain(); dev.drain()
+    th, td = host.tokens(hh), dev.tokens(hd)
+    np.testing.assert_array_equal(th, td)
+
+    dh = host.submit_decode("debug", indices=th, length=len(audio))
+    dd = dev.submit_decode("debug", indices=td, length=len(audio))
+    host.drain(); dev.drain()
+    ah, ad = host.audio(dh), dev.audio(dd)
+    assert ah.dtype == np.float32 and ad.dtype == np.float32
+    np.testing.assert_array_equal(ah, ad)
+
+    # dec_feat lane: the host bf16 cast of FEATURE rows must also match
+    q, _ = mk().encode_audio(audio)
+    feat = np.asarray(q, np.float32).reshape(-1, q.shape[-1])
+    fh = host.submit_decode("debug", features=feat, length=len(audio))
+    fd = dev.submit_decode("debug", features=feat, length=len(audio))
+    host.drain(); dev.drain()
+    np.testing.assert_array_equal(host.audio(fh), dev.audio(fd))
