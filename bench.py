@@ -95,6 +95,7 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     params = fcodec.init_codec(jax.random.PRNGKey(0), mc, dtype=dtype)
+    params = fcodec.attach_bias_caches(params, mc)
 
     sr = cfg.sample_rate
     T = int(args.seconds * sr) // mc.hop_length * mc.hop_length

@@ -37,6 +37,31 @@ def init_codec(key, mc: ModelConfig, dtype=jnp.float32) -> dict:
     return p
 
 
+def attach_bias_caches(params: dict, mc: ModelConfig) -> dict:
+    """Precompute every transformer stack's DynamicPositionBias into the
+    params pytree (``lt.attach_bias_cache``) — the inference-time fast path
+    used by zoo/serving/bench. Values are bit-identical to the in-forward
+    build; training inits skip this so gradients flow through the MLP."""
+    params = dict(params)
+    if mc.uses_compressed_transformer:
+        ecf = lt.compressed_encoder_configs(mc)
+        dcf = lt.compressed_decoder_configs(mc)
+        ee = dict(params["en_encoder"])
+        ee["down_trans"] = lt.attach_bias_cache(ee["down_trans"], ecf["down"])
+        ee["post_trans"] = lt.attach_bias_cache(ee["post_trans"], ecf["post"])
+        ed = dict(params["en_decoder"])
+        ed["pre_trans"] = lt.attach_bias_cache(ed["pre_trans"], dcf["pre"])
+        ed["up_trans"] = lt.attach_bias_cache(ed["up_trans"], dcf["up"])
+    else:
+        ee = lt.attach_bias_cache(params["en_encoder"],
+                                  lt.plain_encoder_config(mc))
+        ed = lt.attach_bias_cache(params["en_decoder"],
+                                  lt.plain_decoder_config(mc))
+    params["en_encoder"] = ee
+    params["en_decoder"] = ed
+    return params
+
+
 def preprocess(audio: jnp.ndarray, mc: ModelConfig):
     """Right-pad (B, T) audio to a hop multiple (reference ``l3ac/codec.py:79-84``)."""
     length = audio.shape[-1]

@@ -134,6 +134,23 @@ def _ff_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return linear_p(h, p["w2"])
 
 
+def attach_bias_cache(p: dict, tc: TransConfig) -> dict:
+    """Return ``p`` with the DynamicPositionBias (heads, n, 2n) matrix
+    precomputed into ``p["bias_cache"]``.
+
+    The bias is a pure function of the (tiny) dyn_bias MLP weights and the
+    window size, but its Toeplitz materialization costs ~3 ms per window-750
+    stack on v5e (gather- and relayout-hostile shapes) — ~6 ms of the
+    flagship step when rebuilt inside every jitted forward. Inference holds
+    the weights fixed, so the zoo/serving/bench entry points attach this
+    cache once at model build (``codec.attach_bias_caches``); training paths
+    skip it and differentiate through the live MLP as before."""
+    if tc.dynamic_pos and "dyn_bias" in p and "bias_cache" not in p:
+        p = dict(p, bias_cache=attention.dynamic_position_bias(
+            p["dyn_bias"], tc.window_size))
+    return p
+
+
 def local_trans_apply(p: dict, x: jnp.ndarray, tc: TransConfig) -> jnp.ndarray:
     """x: (B, T, C) -> (B, T, C). Pads T to a window multiple internally
     (autopad) and crops back — safe under the causal mask."""
@@ -148,7 +165,10 @@ def local_trans_apply(p: dict, x: jnp.ndarray, tc: TransConfig) -> jnp.ndarray:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     bias = None
     if tc.dynamic_pos:
-        bias = attention.dynamic_position_bias(p["dyn_bias"], tc.window_size)
+        bias = p.get("bias_cache")
+        if bias is None:
+            bias = attention.dynamic_position_bias(p["dyn_bias"],
+                                                   tc.window_size)
     for layer in p["layers"]:
         x = _mha_apply(layer["attn"], x, tc, bias) + x
         x = _ff_apply(layer["ff"], x) + x

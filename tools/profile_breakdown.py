@@ -64,6 +64,7 @@ def main():
     mc = cfg.network_config
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = fcodec.init_codec(jax.random.PRNGKey(0), mc, dtype=dtype)
+    params = fcodec.attach_bias_caches(params, mc)
 
     sr = cfg.sample_rate
     T = int(args.seconds * sr) // mc.hop_length * mc.hop_length
@@ -107,6 +108,9 @@ def main():
         fl, by = cost_of(fn, x)
         total += dt
         tot_flops += fl
+        if dt <= 0:   # sub-resolution stage (two-point slope clamped to 0)
+            print(f"{name:12s} {dt*1e3:8.2f} {'-':>9s} {fl/1e9:8.2f}")
+            continue
         print(f"{name:12s} {dt*1e3:8.2f} {audio_sec/dt:9.1f} {fl/1e9:8.2f} "
               f"{100*fl/dt/peak:6.2f} {by/dt/1e9:7.1f}")
     print(f"{'sum':12s} {total*1e3:8.2f} {audio_sec/total:9.1f} "
