@@ -167,10 +167,14 @@ def conv_unit_ct(x: jnp.ndarray, p: dict, *, kernel_size: int = 7,
         assert lh.shape == (B, C, halo), (lh.shape, (B, C, halo))
         lh = lh.astype(x.dtype)
     Tin = x.shape[2]
-    # keep the (4C, S) fp32 intermediate ~3 MiB (VMEM scoped limit is 16 MiB
+    # keep the (4C, S) fp32 intermediate bounded (VMEM scoped limit is 16 MiB
     # shared with double-buffered I/O blocks and both weight matrices); narrow
-    # channels take long tiles — fewer grid steps amortize per-step overhead
-    S = max(256, min(CT_CAP, (CT_BUDGET // (16 * C)) // 256 * 256))
+    # channels take long tiles — fewer grid steps amortize per-step overhead.
+    # Budget is C-dependent (r5 sweep, post-GRN-fold): C=96 measures best at
+    # 4 MiB (0.997 vs 1.122 ms/unit at the stage-2 shape) while C<=48 and the
+    # encoder's C=24 measure best at 2 MiB (8 MiB OOMs scoped VMEM).
+    budget = CT_BUDGET if C < 96 else max(CT_BUDGET, 4 << 20)
+    S = max(256, min(CT_CAP, (budget // (16 * C)) // 256 * 256))
     pad = (-Tin) % S
     xt = jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
     NT = (Tin + pad) // S
